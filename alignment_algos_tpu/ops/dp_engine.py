@@ -34,8 +34,12 @@ NEG = jnp.float32(-3.0e38)
 
 @partial(jax.jit, static_argnames=("q0", "q1", "t0", "t1", "local",
                                    "zero_head", "zero_tail"))
-def _dp_forward(S, D, A, B, *, q0: int, q1: int, t0: int, t1: int,
-                local: bool, zero_head: bool, zero_tail: bool):
+def _dp_forward(S, D, Cpad, ins0, ins_close, *, q0: int, q1: int, t0: int,
+                t1: int, local: bool, zero_head: bool, zero_tail: bool):
+    """Cpad[(q2-1)+d, j] = insertion cost for a query gap of span d ending at
+    template column j, precomputed on host with the reference's exact
+    float32 mul-then-add (no FMA contraction inside the kernel).  ins0 /
+    ins_close are the boundary-column / closing-scan cost vectors."""
     q2, t2 = S.shape
     f32 = jnp.float32
     s_init = f32(0.0)
@@ -53,13 +57,7 @@ def _dp_forward(S, D, A, B, *, q0: int, q1: int, t0: int, t1: int,
     brow = jnp.where(brow_mask, brow, f32(0.0))
 
     # ---- boundary col j = t0+1 (insertion from origin) -------------------
-    dist0 = ii - q0
-    ins0 = A[t0 + 1] + B[t0 + 1] * (dist0 - 2).astype(jnp.float32)
-    ins0 = jnp.where(dist0 < 2, f32(0.0), ins0)
-    if zero_head:
-        ins0 = jnp.zeros_like(ins0)
     bcol = clamp((s_init - ins0) + S[:, t0 + 1])
-    bcol_mask = (ii >= q0 + 2) & (ii <= q1 - 1)
 
     H0 = jnp.zeros((q2, t2), dtype=jnp.float32)
     H0 = H0.at[q0 + 1].set(brow)
@@ -85,10 +83,10 @@ def _dp_forward(S, D, A, B, *, q0: int, q1: int, t0: int, t1: int,
         del_max = jnp.max(dc, axis=0)
         del_arg = jnp.argmax(dc, axis=0)
 
-        # insertion candidates: (Q2, T2) over predecessor row k (col j-1)
+        # insertion candidates: (Q2, T2) over predecessor row k (col j-1);
+        # cost[k, j] = Cpad[(q2-1) + i - k, j], gathered as a flipped slice
         Hsh = jnp.concatenate([jnp.zeros((q2, 1), jnp.float32), H[:, :-1]], axis=1)
-        dist = (i - qk)[:, None]
-        cost = A[None, :] + B[None, :] * (dist - 2).astype(jnp.float32)
+        cost = jnp.flip(jax.lax.dynamic_slice_in_dim(Cpad, i, q2, axis=0), 0)
         ic = clamp((Hsh - cost) + sim[None, :])
         ins_kmask = (qk[:, None] >= q0 + 1) & (qk[:, None] <= i - 2)
         ic = jnp.where(ins_kmask, ic, NEG)
@@ -125,12 +123,7 @@ def _dp_forward(S, D, A, B, *, q0: int, q1: int, t0: int, t1: int,
     del_max = jnp.max(dc)
     del_arg = jnp.argmax(dc)
 
-    dist_c = q1 - qk
-    cost_c = A[t1] + B[t1] * (dist_c - 2).astype(jnp.float32)
-    cost_c = jnp.where(dist_c < 2, f32(0.0), cost_c)
-    if zero_tail:
-        cost_c = jnp.zeros_like(cost_c)
-    icand = clamp((H[:, t1 - 1] - cost_c) + sim_c)
+    icand = clamp((H[:, t1 - 1] - ins_close) + sim_c)
     imask = (qk >= q0 + 1) & (qk <= q1 - 1)
     icand = jnp.where(imask, icand, NEG)
     ins_max = jnp.max(icand)
@@ -163,8 +156,29 @@ def build_forward_jax(c: DPCosts, q0: int, q1: int, t0: int, t1: int,
 
     zero_head = bool(c.ins_zero_head_q and q0 == 0)
     zero_tail = bool(c.ins_zero_tail_q and q1 == q2 - 1)
+
+    # host-precomputed insertion cost tables (exact reference float32
+    # mul-then-add; keeps XLA from FMA-contracting the cost expression)
+    d = np.arange(-(q2 - 1), q2 + 1, dtype=np.int64)  # index (q2-1)+d
+    Cpad = (c.A[None, :] + c.B[None, :]
+            * (d[:, None] - c.ins_dist_offset).astype(np.float32)
+            ).astype(np.float32)
+    if c.C is not None:
+        Cpad = (Cpad + c.C[None, :].astype(np.float32)).astype(np.float32)
+    Cpad[d < 2] = 0.0
+
+    ii = np.arange(q2, dtype=np.int64)
+    ins0 = c.ins_cost_of_dist(ii - q0, t0 + 1)
+    if zero_head:
+        ins0 = np.zeros_like(ins0)
+
+    ins_close = c.ins_cost_of_dist(q1 - ii, t1)
+    if zero_tail:
+        ins_close = np.zeros_like(ins_close)
+
     H, pq_rows, pt_rows, bq, bt = _dp_forward(
-        jnp.asarray(c.S), jnp.asarray(c.D), jnp.asarray(c.A), jnp.asarray(c.B),
+        jnp.asarray(c.S), jnp.asarray(c.D), jnp.asarray(Cpad),
+        jnp.asarray(ins0), jnp.asarray(ins_close),
         q0=q0, q1=q1, t0=t0, t1=t1, local=local,
         zero_head=zero_head, zero_tail=zero_tail)
 
@@ -193,9 +207,14 @@ def _flip_costs(c: DPCosts) -> DPCosts:
     B_f = c.B.copy()
     A_f[1:] = c.A[1:][::-1]
     B_f[1:] = c.B[1:][::-1]
+    C_f = None
+    if c.C is not None:
+        C_f = c.C.copy()
+        C_f[1:] = c.C[1:][::-1]
     return DPCosts(S=S_f, D=D_f, A=A_f, B=B_f,
                    ins_zero_head_q=c.ins_zero_tail_q,
-                   ins_zero_tail_q=c.ins_zero_head_q)
+                   ins_zero_tail_q=c.ins_zero_head_q,
+                   C=C_f, ins_dist_offset=c.ins_dist_offset)
 
 
 def build_reverse_jax(c: DPCosts, q0: int, q1: int, t0: int, t1: int,

@@ -55,9 +55,7 @@ def _pick(cur_s: np.float32, cands: np.ndarray):
 
 def _ins_cost_vec(c: DPCosts, ks: np.ndarray, q2_pos: int, j: int) -> np.ndarray:
     """insertion(k, q2_pos, j-1, j) vectorized over query start positions ks."""
-    dist = (q2_pos - ks).astype(np.int64)
-    cost = (F32(c.A[j]) + F32(c.B[j]) * (dist - 2).astype(np.float32)).astype(np.float32)
-    cost = np.where(dist < 2, F32(0.0), cost)
+    cost = c.ins_cost_of_dist(q2_pos - ks, j)
     if c.ins_zero_head_q:
         cost = np.where(ks == 0, F32(0.0), cost)
     if c.ins_zero_tail_q and q2_pos == c.q_size - 1:
@@ -196,10 +194,7 @@ def build_reverse(c: DPCosts, q0: int, q1: int, t0: int, t1: int,
 
             ks = np.arange(q1 - 1, i + 1, -1)
             if ks.size:
-                dist = (ks - i).astype(np.int64)
-                cost = (F32(c.A[j + 1]) + F32(c.B[j + 1])
-                        * (dist - 2).astype(np.float32)).astype(np.float32)
-                cost = np.where(dist < 2, F32(0.0), cost)
+                cost = c.ins_cost_of_dist(ks - i, j + 1)
                 if c.ins_zero_head_q:
                     cost = np.where(np.int64(i) == 0, F32(0.0), cost)
                 if c.ins_zero_tail_q:
@@ -224,10 +219,7 @@ def build_reverse(c: DPCosts, q0: int, q1: int, t0: int, t1: int,
 
     ks = np.arange(q1 - 1, q0, -1)
     # insertion(q0, k, t0, t0+1) vectorized over k
-    dist = (ks - q0).astype(np.int64)
-    cost = (F32(c.A[t0 + 1]) + F32(c.B[t0 + 1])
-            * (dist - 2).astype(np.float32)).astype(np.float32)
-    cost = np.where(dist < 2, F32(0.0), cost)
+    cost = c.ins_cost_of_dist(ks - q0, t0 + 1)
     if c.ins_zero_head_q and q0 == 0:
         cost = np.zeros_like(cost)
     if c.ins_zero_tail_q:

@@ -50,6 +50,11 @@ class DPCosts:
     B: np.ndarray
     ins_zero_head_q: bool
     ins_zero_tail_q: bool
+    # generalized insertion form: (A[j] + B[j]*(dist - ins_dist_offset)) + C[j]
+    # (gn2 adds a per-column contact term after the affine part,
+    # gn2_eval.h:139; gnoali scales by (dist-1), gnoalib.h:168)
+    C: np.ndarray | None = None
+    ins_dist_offset: int = 2
 
     @property
     def q_size(self) -> int:
@@ -58,6 +63,16 @@ class DPCosts:
     @property
     def t_size(self) -> int:
         return self.S.shape[1]
+
+    def ins_cost_of_dist(self, dist, j):
+        """Vectorized insertion cost for integer gap spans ``dist`` at
+        column j, in the evaluator's float32 op order."""
+        dist = np.asarray(dist, dtype=np.int64)
+        cost = (np.float32(self.A[j]) + np.float32(self.B[j])
+                * (dist - self.ins_dist_offset).astype(np.float32)).astype(np.float32)
+        if self.C is not None:
+            cost = (cost + np.float32(self.C[j])).astype(np.float32)
+        return np.where(dist < 2, np.float32(0.0), cost)
 
     # --- scalar cost hooks (bit-compatible with the DP arrays; used by the
     # --- traceback enumerators which re-price individual gaps) -------------
@@ -72,7 +87,7 @@ class DPCosts:
             return 0.0
         if self.ins_zero_tail_q and q2 == self.q_size - 1:
             return 0.0
-        return float(np.float32(self.A[t2] + self.B[t2] * np.float32(dist - 2)))
+        return float(self.ins_cost_of_dist(np.array([dist]), t2)[0])
 
 
 def affine_deletion_table(gi: np.ndarray, ge: np.ndarray,

@@ -16,9 +16,11 @@ from __future__ import annotations
 import numpy as np
 
 from ..seq.hmap import HMAPSequence
-from ..utils.hmath import norm_elements_region, pearson_rows, shift_elements_region
+from ..utils.hmath import (norm_elements_region, pearson_rows,
+                           seq_matmul_f32, shift_elements_region)
 from ..utils.params import AlignT, HMAPaliParams
 from .base import DPCosts, affine_deletion_table, ins_zero_flags
+from ..native import expf
 
 
 class HMAPaliEval:
@@ -29,9 +31,10 @@ class HMAPaliEval:
         """pre_calculate (hmap_eval.cpp:38-45): per-position gap penalties on
         the template, including the sentinel rows (whose p_coil is 0)."""
         p = self.params
-        pi = np.exp(np.float32(p.beta) *
-                    (np.float32(1.0) - np.float32(1.25) *
-                     templ.sse_values[:, 2].astype(np.float32))).astype(np.float32)
+        arg = (np.float32(p.beta) *
+               (np.float32(1.0) - np.float32(1.25) *
+                templ.sse_values[:, 2].astype(np.float32))).astype(np.float32)
+        pi = expf(arg)  # libm expf, as resolved by the reference's exp(float)
         gi = (np.float32(p.gap_init_penalty) * pi).astype(np.float32)
         ge = (np.float32(p.gap_extn_penalty) * pi).astype(np.float32)
         return gi, ge
@@ -42,10 +45,14 @@ class HMAPaliEval:
         t2 = templ.size()
 
         # similarity (hmap_eval.h:47-61)
-        ip = (query.aa_profile @ templ.aa_profile.T).astype(np.float32)
+        ip = seq_matmul_f32(query.aa_profile, templ.aa_profile)
         pc = pearson_rows(query.sse_values, templ.sse_values)
-        conf = np.outer(query.sse_confid, templ.sse_confid).astype(np.float32)
-        S = (ip * np.exp(np.float32(p.alpha) * pc * conf)).astype(np.float32)
+        # float-chain ((alpha*pc)*conf_q)*conf_t then libm expf then a float
+        # multiply, exactly as hmap_eval.h:56-60 compiles
+        arg = (np.float32(p.alpha) * pc).astype(np.float32)
+        arg = (arg * query.sse_confid[:, None].astype(np.float32)).astype(np.float32)
+        arg = (arg * templ.sse_confid[None, :].astype(np.float32)).astype(np.float32)
+        S = (ip * expf(arg)).astype(np.float32)
         S = np.nan_to_num(S, nan=0.0, posinf=0.0, neginf=0.0)
         S[0, :] = 0.0
         S[-1, :] = 0.0

@@ -15,6 +15,12 @@ import numpy as np
 from .sequence import HEAD, TAIL, Sequence, kyte_hydropathy_table
 
 
+def _seq_dot(a, b):
+    """Sequential float32 dot (reference += accumulation order)."""
+    return np.cumsum(a.astype(np.float32) * b.astype(np.float32),
+                     dtype=np.float32)[-1]
+
+
 class HMAPSequence(Sequence):
     """Profile sequence. All per-position arrays have shape (N+2, ...) with
     sentinel rows at 0 and N+1 (zeros except where noted below).
@@ -145,7 +151,7 @@ class HMAPSequence(Sequence):
             prof = np.array([float(next_tok()) for _ in range(20)], dtype=np.float32)
             prof = prof / np.float32(100.0)
             self.aa_profile[i] = prof
-            self.hydropathy[i] = np.float32(np.dot(prof, hpath))
+            self.hydropathy[i] = _seq_dot(prof, hpath)
             if next_tok() != "-":
                 raise ValueError("Parse error before '-'")
             self.gap_values[i] = [float(next_tok()) for _ in range(4)]

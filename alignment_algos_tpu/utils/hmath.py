@@ -6,15 +6,40 @@ from __future__ import annotations
 import numpy as np
 
 
+def seq_sum_f32(v: np.ndarray, axis: int = -1) -> np.ndarray:
+    """Strictly sequential float32 summation along ``axis`` — matches the
+    reference's valarray::sum() / += accumulation order bit-for-bit (numpy's
+    own sum is pairwise/unrolled and rounds differently)."""
+    v = np.asarray(v, dtype=np.float32)
+    if v.shape[axis] == 0:
+        return np.zeros(np.delete(v.shape, axis), dtype=np.float32)
+    return np.cumsum(v, axis=axis, dtype=np.float32).take(-1, axis=axis)
+
+
+def seq_matmul_f32(A: np.ndarray, B: np.ndarray, chunk: int = 128) -> np.ndarray:
+    """(N,K) x (M,K) -> (N,M) with sequential-in-K float32 accumulation,
+    row-chunked to bound the (chunk, M, K) intermediate."""
+    A = np.asarray(A, dtype=np.float32)
+    B = np.asarray(B, dtype=np.float32)
+    n, k = A.shape
+    m = B.shape[0]
+    out = np.empty((n, m), dtype=np.float32)
+    for i0 in range(0, n, chunk):
+        i1 = min(i0 + chunk, n)
+        prod = A[i0:i1, None, :] * B[None, :, :]
+        out[i0:i1] = seq_sum_f32(prod, axis=-1)
+    return out
+
+
 def norm_elements_vec(v: np.ndarray) -> np.ndarray:
     """Z-normalize a vector (hmath.h norm_elements): (v - mean) / std with
-    var = E[v^2] - E[v]^2."""
+    var = E[v^2] - E[v]^2, sums accumulated in reference order."""
     v = v.astype(np.float32)
     n = np.float32(v.size)
-    avg = np.float32(v.sum(dtype=np.float32) / n)
-    sumsq = np.float32((v * v).sum(dtype=np.float32))
+    avg = np.float32(seq_sum_f32(v) / n)
+    sumsq = np.float32(seq_sum_f32(v * v))
     var = np.float32(sumsq / n - avg * avg)
-    std = np.sqrt(var)
+    std = np.float32(np.sqrt(var))
     return ((v - avg) / std).astype(np.float32)
 
 
@@ -41,20 +66,21 @@ def shift_elements_region(m: np.ndarray, i0: int, i1: int, j0: int, j1: int,
 
 def pearson_rows(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Pearson correlation between every row of ``a`` (N,K) and every row of
-    ``b`` (M,K) -> (N,M), mirroring hmath.h pearson_corr which z-normalizes
-    each K-vector then takes dot/K."""
+    ``b`` (M,K) -> (N,M), mirroring hmath.h pearson_corr (z-normalize each
+    K-vector, dot, divide by K) with reference accumulation order."""
     a = a.astype(np.float32)
     b = b.astype(np.float32)
     k = a.shape[1]
 
     def znorm(rows):
-        avg = rows.mean(axis=1, keepdims=True, dtype=np.float32)
-        sumsq = (rows * rows).sum(axis=1, keepdims=True, dtype=np.float32)
+        avg = (seq_sum_f32(rows, axis=1) / np.float32(k))[:, None]
+        sumsq = seq_sum_f32(rows * rows, axis=1)[:, None]
         var = sumsq / np.float32(k) - avg * avg
-        std = np.sqrt(var)
+        std = np.sqrt(var).astype(np.float32)
         with np.errstate(divide="ignore", invalid="ignore"):
-            return (rows - avg) / std
+            return ((rows - avg) / std).astype(np.float32)
 
     za = znorm(a)
     zb = znorm(b)
-    return (za @ zb.T / np.float32(k)).astype(np.float32)
+    dots = seq_matmul_f32(za, zb)
+    return (dots / np.float32(k)).astype(np.float32)

@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Benchmark: batched affine-gap Smith-Waterman throughput on one chip.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Measures end-to-end cell updates/second of the Pallas wavefront engine
+(similarity one-hot matmul on the MXU + skew + anti-diagonal DP kernel) over
+a batch of random protein pairs with BLOSUM62 + affine gaps — BASELINE.md
+config 2 (batched pairwise SW).
+
+vs_baseline compares against the reference binary's measured DP throughput
+(aa_ali.cpp path, the O(Q*T*(Q+T)) general-gap recurrence, -O3, single
+thread on this machine): 0.62 MCUPS at 512x512 — measured live when the
+oracle binary is present, else this recorded constant.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REF_BASELINE_CUPS = 0.62e6  # measured: /tmp/refbuild/aaa, 512x512, see above
+
+B = 128
+Q = T = 512
+GI, GE = 11.0, 1.0
+ITERS = 50
+
+
+def measure_reference() -> float:
+    """Live-measure the reference binary if available (cells/sec)."""
+    aaa = "/tmp/refbuild/aaa"
+    blosum = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tests", "data", "BLOSUM62")
+    if not (os.path.exists(aaa) and os.path.exists(blosum)):
+        return REF_BASELINE_CUPS
+    rng = np.random.default_rng(42)
+    alpha = "ARNDCQEGHILKMFPSTWYV"
+
+    def mkfa(n, path):
+        s1 = "".join(alpha[i] for i in rng.integers(0, 20, n))
+        s2 = "".join(alpha[i] for i in rng.integers(0, 20, n))
+        with open(path, "w") as f:
+            f.write(f"> t\n{s1}\n> q\n{s2}\n\n")
+
+    env = dict(os.environ)
+    env["HOME"] = "/tmp"
+    times = {}
+    for n in (64, 512):
+        fa = f"/tmp/aaa_bench_{n}.fa"
+        mkfa(n, fa)
+        r = subprocess.run([aaa, fa, "--SUB_MATRIX", blosum,
+                            "--ALIGN_MODE", "1", "-opt"],
+                           capture_output=True, text=True, env=env)
+        for l in r.stdout.splitlines():
+            if l.startswith("total cpu"):
+                times[n] = float(l.split()[-1])
+    if 512 not in times or 64 not in times:
+        return REF_BASELINE_CUPS
+    dt = times[512] - times.get(64, 0.0)
+    if dt <= 0:
+        return REF_BASELINE_CUPS
+    return (514 * 514) / dt
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    from alignment_algos_tpu.ops import swaffine
+
+    rng = np.random.default_rng(0)
+    qc = jnp.asarray(rng.integers(0, 20, (B, Q)), dtype=jnp.int32)
+    tc = jnp.asarray(rng.integers(0, 20, (B, T)), dtype=jnp.int32)
+    from alignment_algos_tpu.scoring.submatrix import BlosumMatrix
+    bl = BlosumMatrix(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "tests", "data", "BLOSUM62"))
+    table = jnp.asarray(bl.matrix[:20, :20])
+
+    gap = jnp.array([[GI, GE]], dtype=jnp.float32)
+
+    @jax.jit
+    def run(qcodes, tcodes, tbl, gp):
+        s = swaffine.similarity_from_codes(qcodes, tcodes, tbl)
+        sd = swaffine.skew_similarity(s)
+        return swaffine.sw_affine_scores_from_skewed(sd, gp, q=Q, t=T)
+
+    scores = run(qc, tc, table, gap)
+    scores.block_until_ready()  # compile + warm up
+    run(qc, tc, table, gap).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        scores = run(qc, tc, table, gap)
+    scores.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    cells = B * Q * T * ITERS
+    cups = cells / dt
+    ref = measure_reference()
+    out = {
+        "metric": "batched_sw_affine_cell_updates_per_sec",
+        "value": round(cups / 1e9, 3),
+        "unit": "GCUPS",
+        "vs_baseline": round(cups / ref, 1),
+        "detail": {
+            "batch": B, "q": Q, "t": T, "iters": ITERS,
+            "seconds": round(dt, 4),
+            "device": str(jax.devices()[0]),
+            "reference_mcups": round(ref / 1e6, 3),
+        },
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""Build reference oracle binaries from /root/reference into /tmp/refbuild.
+
+The reference's C++98 code is copied to a scratch dir (never into this
+repo), minimally patched for modern g++ and for test-harness hygiene
+(removing a debug cout in HMAPaliEval::similarity that floods stdout,
+hmap_eval.h:54-55), and compiled with -O3 -ffp-contract=off (the reference's makefile adds
+-ffast-math, which lets GCC reassociate the float accumulations away from
+source order; the no-fast-math build is the bit-deterministic source-order
+semantics and agrees with the fast-math build to 1 ulp).  Troll-dependent code is satisfied with stub headers so
+the Troll-free paths (aaa, nalign) link; the stubs provide only
+Troll::Application construction, which nalign instantiates but never uses
+for profile-profile alignment (nalign.cpp:62).
+
+Outputs: /tmp/refbuild/aaa, /tmp/refbuild/nalign, /tmp/refbuild/get_area_diffs
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+
+REF = "/root/reference"
+OUT = "/tmp/refbuild"
+
+TROLL_STUB = """
+// Minimal Troll stubs: just enough for nalign (which only constructs
+// Troll::Application) and for struct.h's type references.
+#ifndef TROLL_STUBS
+#define TROLL_STUBS
+#include <string>
+#include <vector>
+enum { TC_Coil = 0, TC_Helix = 329, TC_Strand = 330 };
+namespace Troll {
+  class Application { public: Application() {} ~Application() {}
+    static void* topology; };
+  class Vector { public: double x,y,z;
+    Vector():x(0),y(0),z(0) {}
+    double distanceTo(const Vector& o) const; };
+  class Residue; class Chain; class Structure; class PDBFile;
+  class SSE; class HBond; class SurfvSurface;
+}
+using namespace Troll;
+#endif
+"""
+
+APP_H = '#include "troll_stubs.h"\n'
+
+
+def main() -> int:
+    os.makedirs(OUT, exist_ok=True)
+    src = os.path.join(OUT, "src")
+    if os.path.exists(src):
+        shutil.rmtree(src)
+    os.makedirs(src)
+    for f in os.listdir(REF):
+        if f.endswith((".cpp", ".h")):
+            shutil.copy(os.path.join(REF, f), src)
+
+    # troll stub headers included by struct.h
+    with open(os.path.join(src, "troll_stubs.h"), "w") as f:
+        f.write(TROLL_STUB)
+    for h in ("app.h", "structure.h", "pdbfile.h", "troll.h"):
+        with open(os.path.join(src, h), "w") as f:
+            f.write(APP_H)
+
+    # patch 1: silence the stray debug cout in HMAPaliEval::similarity
+    he = os.path.join(src, "hmap_eval.h")
+    txt = open(he).read()
+    start = txt.find("cout << q[q_pos]->sse_values[0]")
+    if start >= 0:
+        end = txt.find("endl;", start) + len("endl;")
+        txt = txt[:start] + "// (debug cout removed for oracle build)" + txt[end:]
+        open(he, "w").write(txt)
+
+    # patch 2: struct.h includes Troll headers that our stubs replace; it
+    # compiles as-is with the stubs since HM_Data only holds pointers/values.
+
+    # patch 3: 64-bit type fix — kscw.h:188 / crcw.h:242 call
+    # min(size_t, unsigned int), ambiguous on LP64
+    for fn in ("kscw.h", "crcw.h"):
+        p = os.path.join(src, fn)
+        t = open(p).read()
+        t = t.replace("min(as.capacity()*2,params->user_limit)",
+                      "min(as.capacity()*2,(size_t)params->user_limit)")
+        open(p, "w").write(t)
+
+    flags = ["-O3", "-ffp-contract=off", "-DUNIXVER", "-Wno-deprecated", "-w",
+             "-std=c++98", "-include", "cstdlib", "-include", "cstring",
+             "-include", "cstdio", "-I", src]
+
+    lib_sources = ["aa_seq.cpp", "alib.cpp", "ali_dist.cpp", "application.cpp",
+                   "argv.cpp", "dpmatrix.cpp", "fastaio.cpp", "formats.cpp",
+                   "gstrings.cpp", "hmap_eval.cpp", "hmapalib_seq.cpp",
+                   "hmapio.cpp", "noalib.cpp", "pirio.cpp", "pstore.cpp",
+                   "rcfile.cpp", "sequence.cpp", "sflags.cpp", "submatrix.cpp"]
+
+    objs = []
+    for cpp in lib_sources:
+        obj = os.path.join(OUT, cpp.replace(".cpp", ".o"))
+        r = subprocess.run(["g++", "-c"] + flags +
+                           ["-o", obj, os.path.join(src, cpp)],
+                           capture_output=True, text=True)
+        if r.returncode != 0:
+            print(f"FAILED compiling {cpp}:\n{r.stderr}", file=sys.stderr)
+            return 1
+        objs.append(obj)
+
+    tools_dir = os.path.dirname(os.path.abspath(__file__))
+    targets = [("aa_ali", os.path.join(src, "aa_ali.cpp")),
+               ("nalign", os.path.join(src, "nalign.cpp")),
+               ("get_area_diffs", os.path.join(src, "get_area_diffs.cpp")),
+               ("oracle_enum", os.path.join(tools_dir, "oracle_enum.cpp"))]
+    for tool, main_cpp in targets:
+        exe = os.path.join(OUT, "aaa" if tool == "aa_ali" else tool)
+        r = subprocess.run(["g++"] + flags + ["-o", exe, main_cpp] + objs,
+                           capture_output=True, text=True)
+        if r.returncode != 0:
+            print(f"FAILED linking {tool}:\n{r.stderr}", file=sys.stderr)
+            return 1
+        print(f"built {exe}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
