@@ -60,6 +60,8 @@ def _read_flags(args, templ) -> SuboptFlags:
 
 
 def main(argv=None) -> int:
+    from ..utils.jaxenv import ensure_platform_from_env
+    ensure_platform_from_env()
     argv = argv if argv is not None else sys.argv[1:]
     try:
         return _run(argv)

@@ -24,6 +24,8 @@ from ..utils.params import (ApplicationParams, Argv, HMAPaliParams,
 
 
 def main(argv=None) -> int:
+    from ..utils.jaxenv import ensure_platform_from_env
+    ensure_platform_from_env()
     argv = argv if argv is not None else sys.argv[1:]
     try:
         return _run(argv)

@@ -217,6 +217,58 @@ class Alignment:
                 float(n_agree) / float(d_dev) if d_dev else float("nan"),
                 float(n_agree) / float(d_comb) if d_comb else float("nan"))
 
+    def get_area_diff(self, other: "Alignment") -> float:
+        """Exact area between the two alignment paths via merged segment
+        sweep + trapezoid differences (alignment.h:525-641), float32."""
+        F = np.float32
+        p1 = list(self.pairs)
+        p2 = list(other.pairs)
+        i1 = i2 = 1
+        prev1, prev2 = p1[0], p2[0]
+        area = F(0.0)
+        base = F(self.pairs[-1][0])  # back().query_idx()
+        while i1 < len(p1) or i2 < len(p2):
+            c1 = p1[min(i1, len(p1) - 1)]
+            c2 = p2[min(i2, len(p2) - 1)]
+            if c1[1] <= c2[1]:
+                main_is_former = True
+                former, former_prev = c1, prev1
+                latter, latter_prev = c2, prev2
+                prev1 = c1
+                i1 += 1
+            else:
+                main_is_former = False
+                former, former_prev = c2, prev2
+                latter, latter_prev = c1, prev1
+                prev2 = c2
+                i2 += 1
+            xa1, ya1 = F(former_prev[1]), F(former_prev[0])
+            xa2, ya2 = F(former[1]), F(former[0])
+            xb1, yb1 = F(latter_prev[1]), F(latter_prev[0])
+            xb2, yb2 = F(latter[1]), F(latter[0])
+            seg = _compare_segments(xa1, ya1, xa2, ya2, xb1, yb1, xb2, yb2)
+            exists, has_area, xp, yp, a1s, a2s, b1s, b2s = seg
+            if has_area:
+                def trap(x1, y1, x2, y2):
+                    return F(F(F(F(base - y1) + F(base - y2)) / F(2.0))
+                             * F(x2 - x1))
+                if not exists:
+                    area = F(area + abs(F(trap(a1s[0], a1s[1], a2s[0], a2s[1])
+                                           - trap(b1s[0], b1s[1], b2s[0], b2s[1]))))
+                else:
+                    area = F(area + abs(F(trap(a1s[0], a1s[1], xp, yp)
+                                           - trap(b1s[0], b1s[1], xp, yp))))
+                    area = F(area + abs(F(trap(xp, yp, a2s[0], a2s[1])
+                                           - trap(xp, yp, b2s[0], b2s[1]))))
+            if xa2 == xb2:
+                if main_is_former:
+                    prev2 = p2[min(i2, len(p2) - 1)]
+                    i2 += 1
+                else:
+                    prev1 = p1[min(i1, len(p1) - 1)]
+                    i1 += 1
+        return float(area)
+
     def export_path(self) -> np.ndarray:
         """(K,2) int array of (q,t) pairs."""
         return np.array(list(self.pairs), dtype=np.int64).reshape(-1, 2)
@@ -255,6 +307,48 @@ class Alignment:
         return self.score > other.score  # descending score order
 
 
+def _compare_segments(xa1, ya1, xa2, ya2, xb1, yb1, xb2, yb2):
+    """alignment.h:643-768: returns (exists, has_area, xp, yp, a1, a2, b1, b2)
+    where a1/a2/b1/b2 are the clipped segment endpoints as (x, y)."""
+    F = np.float32
+    same_p1 = (xa1 == xb1) and (ya1 == yb1)
+    same_p2 = (xa2 == xb2) and (ya2 == yb2)
+    if same_p1 and same_p2:
+        return (True, False, F(0), F(0), (xa1, ya1), (xa2, ya2),
+                (xb1, yb1), (xb2, yb2))
+    x_min = xa1 if xa1 > xb1 else xb1
+    x_max = xa2 if xa2 < xb2 else xb2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        m_a = F((ya2 - ya1) / (xa2 - xa1))
+        m_b = F((yb2 - yb1) / (xb2 - xb1))
+        int_a = F(ya1 - m_a * xa1)
+        int_b = F(yb1 - m_b * xb1)
+
+    def clip():
+        return ((x_min, F(m_a * x_min + int_a)), (x_max, F(m_a * x_max + int_a)),
+                (x_min, F(m_b * x_min + int_b)), (x_max, F(m_b * x_max + int_b)))
+
+    if same_p1 and not same_p2:
+        a1, a2, b1, b2 = ((xa1, ya1), (x_max, F(m_a * x_max + int_a)),
+                          (xb1, yb1), (x_max, F(m_b * x_max + int_b)))
+        return (True, m_a != m_b, xa1, ya1, a1, a2, b1, b2)
+    if not same_p1 and same_p2:
+        a1, a2, b1, b2 = ((x_min, F(m_a * x_min + int_a)), (xa2, ya2),
+                          (x_min, F(m_b * x_min + int_b)), (xb2, yb2))
+        return (True, m_a != m_b, xa2, ya2, a1, a2, b1, b2)
+    if m_a == m_b:
+        a1, a2, b1, b2 = clip()
+        if int_a == int_b:
+            return (True, False, F(0), F(0), a1, a2, b1, b2)
+        return (False, True, F(0), F(0), a1, a2, b1, b2)
+    xp = F((int_a - int_b) / (m_b - m_a))
+    a1, a2, b1, b2 = clip()
+    if x_min <= xp <= x_max:
+        yp = F(int_a + m_a * xp)
+        return (True, True, xp, yp, a1, a2, b1, b2)
+    return (False, True, xp, F(0), a1, a2, b1, b2)
+
+
 def _perp_dist(x1p: int, y1p: int, xp: int, yp: int) -> float:
     """alignment.h:833-844."""
     dist_a_sq = float(x1p * x1p + y1p * y1p)
@@ -283,12 +377,17 @@ class AlignmentSet(list):
         return self.dpm.templ_seq
 
     def sort_set(self, max_n: int) -> None:
-        """Descending-score sort; truncate to top max_n (alignment.h:922-932)."""
-        if max_n >= len(self):
-            self.sort(key=lambda a: -a.score)
+        """Descending-score sort; truncate to top max_n (alignment.h:922-932),
+        with libstdc++ std::sort/std::partial_sort tie ordering."""
+        from ..utils.cxxsort import cxx_partial_sort, cxx_sort
+        less = lambda a, b: a.score > b.score
+        items = list(self)
+        if max_n >= len(items):
+            cxx_sort(items, less)
+            self[:] = items
         elif max_n > 0:
-            self.sort(key=lambda a: -a.score)
-            del self[max_n:]
+            cxx_partial_sort(items, max_n, less)
+            self[:] = items[:max_n]
 
     def assign_identity(self) -> None:
         if self.dpm is None:

@@ -130,9 +130,13 @@ class CRConstrainedNearOptimal:
             self._force_opt_path(as_, op)
             return
 
-        all_op.sort(key=lambda o: -o.score)
+        from ...utils.cxxsort import cxx_partial_sort, cxx_sort
+        less = lambda a, b: a.score > b.score
         if len(all_op) > self.params.sort_limit:
+            cxx_partial_sort(all_op, self.params.sort_limit, less)
             del all_op[self.params.sort_limit:]
+        else:
+            cxx_sort(all_op, less)
 
         all_op = self._filter_and_extend(as_, q0, t0, all_op)
         for it in all_op:

@@ -112,9 +112,13 @@ class KSConstrainedNearOptimal:
             self._opt_path(as_, OpData(1, q0, t0, k0, threshold), True)
             return
 
-        k_sort.sort(key=lambda o: -o.score)
+        from ...utils.cxxsort import cxx_partial_sort, cxx_sort
+        less = lambda a, b: a.score > b.score
         if len(k_sort) > k_limit:
+            cxx_partial_sort(k_sort, k_limit, less)
             del k_sort[k_limit:]
+        else:
+            cxx_sort(k_sort, less)
         k_sort[0].limit *= 2  # best op keeps the full limit
 
         k = k0

@@ -13,10 +13,13 @@ def _wrap(s: str, line_length: int) -> str:
 
 
 def _fix_ends(s: str) -> str:
-    """Replace sentinel characters with gap dashes and add the PIR ``*``
-    terminator (PIRWrite::fix_ends in pirio.cpp)."""
-    s = s.replace("^", "-").replace("$", "-")
-    return s + "*"
+    """Erase the sentinel characters (PIRWrite::fix_ends, pirio.cpp:19-25;
+    note the reference writes no ``*`` terminator)."""
+    if s.startswith("^"):
+        s = s[1:]
+    if s.endswith("$"):
+        s = s[:-1]
+    return s
 
 
 class PIRWriter:

@@ -78,7 +78,18 @@ def main() -> int:
     # patch 2: struct.h includes Troll headers that our stubs replace; it
     # compiles as-is with the stubs since HM_Data only holds pointers/values.
 
-    # patch 3: 64-bit type fix — kscw.h:188 / crcw.h:242 call
+    # patch 3: aa_ali.cpp:95 constructs SuboptFlags(templ.size(), true) —
+    # the bool/size_t argument swap yields a length-1 flag array and the cw
+    # enumerator then reads past it (undefined behavior, unreproducible).
+    # The oracle uses a proper all-true flag array instead, matching our
+    # aaa implementation's documented fix.
+    p = os.path.join(src, "aa_ali.cpp")
+    t = open(p).read()
+    t = t.replace("SuboptFlags subopt(templ.size(),true);",
+                  "SuboptFlags subopt(true,templ.size());")
+    open(p, "w").write(t)
+
+    # patch 4: 64-bit type fix — kscw.h:188 / crcw.h:242 call
     # min(size_t, unsigned int), ambiguous on LP64
     for fn in ("kscw.h", "crcw.h"):
         p = os.path.join(src, fn)
