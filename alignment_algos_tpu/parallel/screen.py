@@ -1,0 +1,108 @@
+"""Device-mesh library screening (the scale-out layer; net-new design —
+the reference is single-threaded, SURVEY.md section 2.10).
+
+A template library is sharded over the mesh's data-parallel axis; every
+device runs the batched affine-SW wavefront engine over its shard; per-shard
+top-K results merge via an all-gather (a replicated-output top_k forces the
+collective) with deterministic tie-breaking (score descending, then template
+id ascending — mirroring sortSet's stable ranking semantics).
+
+Works on any jax.sharding.Mesh: 8 virtual CPU devices in tests, ICI-linked
+chips on a pod slice in production.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import swaffine
+
+
+def default_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None and len(devs) < n_devices:
+        devs = jax.devices("cpu")
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), axis_names=(axis,))
+
+
+def _pad_library(t_codes: np.ndarray, shards: int):
+    """Pad the library to a multiple of the shard count with sentinel rows."""
+    n = t_codes.shape[0]
+    padded = -(-n // shards) * shards
+    if padded != n:
+        pad = np.zeros((padded - n, t_codes.shape[1]), dtype=t_codes.dtype)
+        t_codes = np.concatenate([t_codes, pad], axis=0)
+    return t_codes, n
+
+
+@functools.partial(jax.jit, static_argnames=("q", "t", "k", "use_pallas"))
+def _screen_step(q_codes, t_codes, table, gap, valid_mask, *, q: int, t: int,
+                 k: int, use_pallas: bool):
+    b = t_codes.shape[0]
+    qb = jnp.broadcast_to(q_codes[None, :], (b, q))
+    s = swaffine.similarity_from_codes(qb, t_codes, table)
+    sd = swaffine.skew_similarity(s)
+    if use_pallas:
+        scores = swaffine.sw_affine_scores_from_skewed(sd, gap, q=q, t=t)[:b]
+    else:
+        scores = swaffine.sw_affine_scores_xla(sd, gap, q=q, t=t)[:b]
+    scores = jnp.where(valid_mask, scores, jnp.float32(-3e38))
+    # deterministic top-k: score desc, ties by library index asc.
+    # top_k is stable on equal keys (returns lower indices first).
+    topk_scores, topk_idx = jax.lax.top_k(scores, k)
+    return topk_scores, topk_idx
+
+
+def screen_library(q_codes: np.ndarray, t_codes: np.ndarray,
+                   table: np.ndarray, gi: float, ge: float, k: int = 10,
+                   mesh: Mesh | None = None, use_pallas: bool | None = None):
+    """One query against a sharded template library.
+
+    q_codes: (Q,) int codes; t_codes: (N, T) int codes (padded per template);
+    returns (scores, indices) of the global top-k, identical on every host.
+    """
+    if mesh is None:
+        mesh = default_mesh()
+    axis = mesh.axis_names[0]
+    shards = mesh.devices.size
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+
+    t_codes, n_real = _pad_library(np.asarray(t_codes, dtype=np.int32), shards)
+    q = int(np.asarray(q_codes).shape[0])
+    t = int(t_codes.shape[1])
+    k = min(k, n_real)
+
+    lib_sharding = NamedSharding(mesh, P(axis, None))
+    repl = NamedSharding(mesh, P())
+    t_dev = jax.device_put(jnp.asarray(t_codes), lib_sharding)
+    q_dev = jax.device_put(jnp.asarray(q_codes, dtype=jnp.int32), repl)
+    table_dev = jax.device_put(jnp.asarray(table, dtype=jnp.float32), repl)
+    gap = jax.device_put(jnp.array([[gi, ge]], dtype=jnp.float32), repl)
+    valid = jax.device_put(
+        jnp.arange(t_codes.shape[0]) < n_real,
+        NamedSharding(mesh, P(axis)))
+
+    with mesh:
+        scores, idx = _screen_step(q_dev, t_dev, table_dev, gap, valid,
+                                   q=q, t=t, k=k, use_pallas=use_pallas)
+    return np.asarray(scores), np.asarray(idx)
+
+
+def screen_library_host(q_codes, t_codes, table, gi, ge, k=10):
+    """Single-device reference for testing the sharded path."""
+    scores = np.asarray(swaffine.sw_affine_batch_xla(
+        jnp.broadcast_to(jnp.asarray(q_codes, jnp.int32)[None, :],
+                         (t_codes.shape[0], len(q_codes))),
+        jnp.asarray(t_codes, jnp.int32), jnp.asarray(table), gi, ge))
+    order = np.lexsort((np.arange(len(scores)), -scores))
+    top = order[:k]
+    return scores[top], top

@@ -1,0 +1,55 @@
+"""Sharded library screen on the virtual 8-device CPU mesh: results must be
+identical to the single-device reference (deterministic top-K merge)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from alignment_algos_tpu.parallel.screen import (default_mesh, screen_library,
+                                                 screen_library_host)
+
+
+@pytest.fixture(scope="module")
+def inputs():
+    rng = np.random.default_rng(0)
+    q = rng.integers(0, 20, 48).astype(np.int32)
+    lib = rng.integers(0, 20, (37, 56)).astype(np.int32)  # non-divisible count
+    table = rng.integers(-4, 11, (20, 20)).astype(np.float32)
+    return q, lib, table
+
+
+def test_mesh_has_8_devices():
+    mesh = default_mesh(8)
+    assert mesh.devices.size == 8
+
+
+def test_sharded_screen_matches_host(inputs):
+    q, lib, table = inputs
+    mesh = default_mesh(8)
+    s_mesh, i_mesh = screen_library(q, lib, table, 11.0, 1.0, k=12, mesh=mesh)
+    s_host, i_host = screen_library_host(q, lib, table, 11.0, 1.0, k=12)
+    np.testing.assert_array_equal(i_mesh, i_host)
+    np.testing.assert_allclose(s_mesh, s_host, rtol=0, atol=0)
+
+
+def test_sharded_screen_deterministic_on_ties(inputs):
+    q, lib, table = inputs
+    # duplicate templates -> guaranteed score ties; lower index must win
+    lib2 = np.concatenate([lib[:5], lib[:5], lib[5:]], axis=0)
+    mesh = default_mesh(8)
+    s, i = screen_library(q, lib2, table, 11.0, 1.0, k=10, mesh=mesh)
+    s2, i2 = screen_library(q, lib2, table, 11.0, 1.0, k=10, mesh=mesh)
+    np.testing.assert_array_equal(i, i2)
+    # scores sorted descending
+    assert (np.diff(s) <= 0).all()
+
+
+def test_mesh_sizes_1_2_4(inputs):
+    q, lib, table = inputs
+    ref_s, ref_i = screen_library_host(q, lib, table, 11.0, 1.0, k=7)
+    for n in (1, 2, 4):
+        mesh = default_mesh(n)
+        s, i = screen_library(q, lib, table, 11.0, 1.0, k=7, mesh=mesh)
+        np.testing.assert_array_equal(i, ref_i)
+        np.testing.assert_allclose(s, ref_s, atol=0)
