@@ -22,6 +22,8 @@ from ..alignment import Alignment
 
 F32 = np.float32
 
+from .nativedelegate import try_native
+
 
 @dataclass
 class OpData:
@@ -46,6 +48,8 @@ class CRConstrainedNearOptimal:
         return self.params.number_suboptimal
 
     def enumerate(self, dpm, as_) -> None:
+        if try_native("crcw", self, dpm, as_, self.subopt):
+            return
         q_last = dpm.get_query_size() - 1
         t_last = dpm.get_template_size() - 1
         self.warn_user = True

@@ -23,6 +23,8 @@ from ..alignment import Alignment
 
 F32 = np.float32
 
+from .nativedelegate import try_native
+
 
 class ConstrainedNearOptimal:
     def __init__(self, params: NOaliParams, subopt) -> None:
@@ -35,6 +37,8 @@ class ConstrainedNearOptimal:
         return self.params.number_suboptimal
 
     def enumerate(self, dpm, as_) -> None:
+        if try_native("cw", self, dpm, as_, self.subopt):
+            return
         q_last = dpm.get_query_size() - 1
         t_last = dpm.get_template_size() - 1
         self.warn_user = True

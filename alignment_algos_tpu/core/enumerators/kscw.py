@@ -17,6 +17,8 @@ from ..alignment import Alignment
 
 F32 = np.float32
 
+from .nativedelegate import try_native
+
 
 @dataclass
 class OpData:
@@ -39,6 +41,8 @@ class KSConstrainedNearOptimal:
         return self.params.number_suboptimal
 
     def enumerate(self, dpm, as_) -> None:
+        if try_native("kscw", self, dpm, as_, self.subopt):
+            return
         q_last = dpm.get_query_size() - 1
         t_last = dpm.get_template_size() - 1
         self.warn_user = True

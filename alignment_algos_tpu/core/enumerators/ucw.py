@@ -16,6 +16,8 @@ from ..alignment import Alignment
 
 F32 = np.float32
 
+from .nativedelegate import try_native
+
 
 class UnconstrainedNearOptimal:
     def __init__(self, params: NOaliParams) -> None:
@@ -27,6 +29,8 @@ class UnconstrainedNearOptimal:
         return self.params.number_suboptimal
 
     def enumerate(self, dpm, as_) -> None:
+        if try_native("ucw", self, dpm, as_, None):
+            return
         q_last = dpm.get_query_size() - 1
         t_last = dpm.get_template_size() - 1
         self.warn_user = True
