@@ -199,6 +199,82 @@ def build_forward_jax(c: DPCosts, q0: int, q1: int, t0: int, t1: int,
     return res
 
 
+@partial(jax.jit, static_argnames=("q0", "q1", "t0", "t1", "local",
+                                   "zero_head", "zero_tail"))
+def _dp_forward_batched(S, D, Cpad, ins0, ins_close, *, q0, q1, t0, t1,
+                        local, zero_head, zero_tail):
+    """vmap of the forward engine over a leading batch axis — the exact
+    general-gap DP for B same-shape pairs in one device program (profile
+    library screens with reference scoring)."""
+    fn = partial(_dp_forward.__wrapped__, q0=q0, q1=q1, t0=t0, t1=t1,
+                 local=local, zero_head=zero_head, zero_tail=zero_tail)
+    return jax.vmap(fn)(S, D, Cpad, ins0, ins_close)
+
+
+def build_forward_jax_batched(costs: list[DPCosts], local: bool = False):
+    """Full forward builds for a batch of same-shape cost models; returns a
+    list of DPResult.  All pairs must share (Q+2, T+2)."""
+    assert costs
+    q2, t2 = costs[0].q_size, costs[0].t_size
+    for c in costs:
+        assert (c.q_size, c.t_size) == (q2, t2), "bucket by shape first"
+    q0, t0, q1, t1 = 0, 0, q2 - 1, t2 - 1
+    zero_head = bool(costs[0].ins_zero_head_q)
+    zero_tail = bool(costs[0].ins_zero_tail_q)
+
+    d = np.arange(-(q2 - 1), q2 + 1, dtype=np.int64)
+    ii = np.arange(q2, dtype=np.int64)
+    S_b, D_b, Cpad_b, ins0_b, insc_b = [], [], [], [], []
+    for c in costs:
+        Cpad = (c.A[None, :] + c.B[None, :]
+                * (d[:, None] - c.ins_dist_offset).astype(np.float32)
+                ).astype(np.float32)
+        if c.C is not None:
+            Cpad = (Cpad + c.C[None, :].astype(np.float32)).astype(np.float32)
+        Cpad[d < 2] = 0.0
+        ins0 = c.ins_cost_of_dist(ii - q0, t0 + 1)
+        if zero_head:
+            ins0 = np.zeros_like(ins0)
+        ins_close = c.ins_cost_of_dist(q1 - ii, t1)
+        if zero_tail:
+            ins_close = np.zeros_like(ins_close)
+        S_b.append(c.S)
+        D_b.append(c.D)
+        Cpad_b.append(Cpad)
+        ins0_b.append(ins0)
+        insc_b.append(ins_close)
+
+    H, pq_rows, pt_rows, bq, bt = _dp_forward_batched(
+        jnp.asarray(np.stack(S_b)), jnp.asarray(np.stack(D_b)),
+        jnp.asarray(np.stack(Cpad_b)), jnp.asarray(np.stack(ins0_b)),
+        jnp.asarray(np.stack(insc_b)),
+        q0=q0, q1=q1, t0=t0, t1=t1, local=local,
+        zero_head=zero_head, zero_tail=zero_tail)
+
+    H = np.asarray(H)
+    pq_rows = np.asarray(pq_rows)
+    pt_rows = np.asarray(pt_rows)
+    bq = np.asarray(bq)
+    bt = np.asarray(bt)
+    out = []
+    for b in range(len(costs)):
+        res = DPResult(q2, t2)
+        res.H = H[b]
+        res.PQ[q0 + 1, t0 + 1 : t1] = q0
+        res.PT[q0 + 1, t0 + 1 : t1] = t0
+        res.PQ[q0 + 2 : q1, t0 + 1] = q0
+        res.PT[q0 + 2 : q1, t0 + 1] = t0
+        if q1 - q0 - 2 > 0:
+            res.PQ[q0 + 2 : q1] = np.where(pq_rows[b] == NULL,
+                                           res.PQ[q0 + 2 : q1], pq_rows[b])
+            res.PT[q0 + 2 : q1] = np.where(pt_rows[b] == NULL,
+                                           res.PT[q0 + 2 : q1], pt_rows[b])
+        res.PQ[q1, t1] = int(bq[b])
+        res.PT[q1, t1] = int(bt[b])
+        out.append(res)
+    return out
+
+
 def _flip_costs(c: DPCosts) -> DPCosts:
     """Mirror the cost model so the forward engine computes the reverse build."""
     S_f = np.ascontiguousarray(c.S[::-1, ::-1])

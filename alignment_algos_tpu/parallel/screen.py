@@ -97,6 +97,36 @@ def screen_library(q_codes: np.ndarray, t_codes: np.ndarray,
     return np.asarray(scores), np.asarray(idx)
 
 
+def screen_profiles(query, templates, evaluator_factory, k: int = 10):
+    """Exact-scoring profile screen: one HMAP query against a list of
+    template profiles, using the batched general-gap engine (reference
+    scoring, traceback-capable).  Templates are bucketed by length (the
+    engine requires same-shape cost models per batch).
+
+    evaluator_factory(query, templ) -> evaluator with build_costs().
+    Returns (scores, order) — optimal global scores and the top-k template
+    indices (score desc, index asc).
+    """
+    from ..ops import dp_engine
+
+    buckets: dict[tuple[int, int], list[int]] = {}
+    costs = [None] * len(templates)
+    for idx, templ in enumerate(templates):
+        ev = evaluator_factory(query, templ)
+        c = ev.build_costs(query, templ)
+        costs[idx] = c
+        buckets.setdefault((c.q_size, c.t_size), []).append(idx)
+
+    scores = np.zeros(len(templates), dtype=np.float32)
+    for shape, idxs in buckets.items():
+        batch = [costs[i] for i in idxs]
+        results = dp_engine.build_forward_jax_batched(batch)
+        for i, res in zip(idxs, results):
+            scores[i] = res.H[-1, -1]
+    order = np.lexsort((np.arange(len(scores)), -scores))[:k]
+    return scores, order
+
+
 def screen_library_host(q_codes, t_codes, table, gi, ge, k=10):
     """Single-device reference for testing the sharded path."""
     scores = np.asarray(swaffine.sw_affine_batch_xla(

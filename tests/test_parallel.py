@@ -53,3 +53,41 @@ def test_mesh_sizes_1_2_4(inputs):
         s, i = screen_library(q, lib, table, 11.0, 1.0, k=7, mesh=mesh)
         np.testing.assert_array_equal(i, ref_i)
         np.testing.assert_allclose(s, ref_s, atol=0)
+
+
+def test_batched_general_dp_matches_single():
+    """The vmapped general-gap engine equals per-pair builds exactly."""
+    from alignment_algos_tpu.ops import dp_engine, dp_ref
+    from alignment_algos_tpu.utils.params import AlignT
+    from util import random_costs
+
+    rng = np.random.default_rng(9)
+    batch = [random_costs(rng, 14, 12, AlignT.GLOBAL, False) for _ in range(5)]
+    results = dp_engine.build_forward_jax_batched(batch)
+    for c, res in zip(batch, results):
+        ref = dp_ref.build_forward(c, 0, 13, 0, 11)
+        np.testing.assert_array_equal(res.H, ref.H)
+        np.testing.assert_array_equal(res.PQ, ref.PQ)
+        np.testing.assert_array_equal(res.PT, ref.PT)
+
+
+def test_profile_screen_exact_scoring():
+    import os
+    from alignment_algos_tpu.parallel.screen import screen_profiles
+    from alignment_algos_tpu.scoring.hmap_eval import HMAPaliEval
+    from alignment_algos_tpu.seq.hmap import HMAPSequence
+    from alignment_algos_tpu.utils.params import HMAPaliParams
+    from alignment_algos_tpu.core.dp import DPMatrix
+
+    data = os.path.join(os.path.dirname(__file__), "golden", "inputs")
+    query = HMAPSequence.from_file(os.path.join(data, "qA.prof"))
+    lib = [HMAPSequence.from_file(os.path.join(data, n))
+           for n in ("tA.prof", "tB.prof", "qB.prof")]
+    params = HMAPaliParams()
+    factory = lambda q, t: HMAPaliEval(params)
+    scores, order = screen_profiles(query, lib, factory, k=3)
+    # compare against individual DPMatrix builds
+    for i, t in enumerate(lib):
+        dpm = DPMatrix(query, t, HMAPaliEval(params), "fwd", params.align_type)
+        assert np.float32(scores[i]) == np.float32(dpm.res.H[-1, -1])
+    assert (np.diff(scores[order]) <= 0).all()
