@@ -97,6 +97,70 @@ def screen_library(q_codes: np.ndarray, t_codes: np.ndarray,
     return np.asarray(scores), np.asarray(idx)
 
 
+def grid_mesh(shape: tuple[int, int], axes=("qb", "lib")) -> Mesh:
+    """2-D mesh: query batches on one axis, library shards on the other."""
+    n = shape[0] * shape[1]
+    devs = jax.devices()
+    if len(devs) < n:
+        devs = jax.devices("cpu")
+    return Mesh(np.array(devs[:n]).reshape(shape), axis_names=axes)
+
+
+@functools.partial(jax.jit, static_argnames=("q", "t", "k"))
+def _grid_step(q_codes, t_codes, table, gap, valid, *, q: int, t: int, k: int):
+    """All-pairs scores on a 2-D mesh: GSPMD partitions the (nq, nt, ...)
+    intermediates along both mesh axes; the per-query top-k produces the
+    replicated cross-shard merge."""
+
+    def one_query(qc):
+        b = t_codes.shape[0]
+        qb = jnp.broadcast_to(qc[None, :], (b, q))
+        s = swaffine.similarity_from_codes(qb, t_codes, table)
+        sd = swaffine.skew_similarity(s)
+        return swaffine.sw_affine_scores_xla(sd, gap, q=q, t=t)[:b]
+
+    scores = jax.vmap(one_query)(q_codes)          # (nq, nt)
+    masked = jnp.where(valid[None, :], scores, jnp.float32(-3e38))
+    topk_scores, topk_idx = jax.lax.top_k(masked, k)
+    return scores, topk_scores, topk_idx
+
+
+def screen_grid(q_codes: np.ndarray, t_codes: np.ndarray, table: np.ndarray,
+                gi: float, ge: float, k: int = 5,
+                mesh: Mesh | None = None):
+    """Many queries x sharded library on a 2-D (qb, lib) mesh.
+
+    Returns (scores (nq, nt), topk_scores (nq, k), topk_idx (nq, k)).
+    """
+    if mesh is None:
+        mesh = grid_mesh((1, max(1, len(jax.devices()))))
+    qb_ax, lib_ax = mesh.axis_names
+    q_codes = np.asarray(q_codes, dtype=np.int32)
+    t_codes = np.asarray(t_codes, dtype=np.int32)
+    nq, q = q_codes.shape
+    nt, t = t_codes.shape
+    k = min(k, nt)
+
+    # pad both batch axes to the mesh extents; padded library rows are
+    # masked out of the top-k, padded query rows dropped on return
+    q_codes_p, _ = _pad_library(q_codes, int(mesh.shape[qb_ax]))
+    t_codes_p, _ = _pad_library(t_codes, int(mesh.shape[lib_ax]))
+
+    q_sh = NamedSharding(mesh, P(qb_ax, None))
+    t_sh = NamedSharding(mesh, P(lib_ax, None))
+    repl = NamedSharding(mesh, P())
+    qd = jax.device_put(jnp.asarray(q_codes_p), q_sh)
+    td = jax.device_put(jnp.asarray(t_codes_p), t_sh)
+    tab = jax.device_put(jnp.asarray(table, dtype=jnp.float32), repl)
+    gap = jax.device_put(jnp.array([[gi, ge]], dtype=jnp.float32), repl)
+    valid = jax.device_put(jnp.arange(t_codes_p.shape[0]) < nt,
+                           NamedSharding(mesh, P(lib_ax)))
+    with mesh:
+        scores, ts, ti = _grid_step(qd, td, tab, gap, valid, q=q, t=t, k=k)
+    return (np.asarray(scores)[:nq, :nt], np.asarray(ts)[:nq],
+            np.asarray(ti)[:nq])
+
+
 def screen_profiles(query, templates, evaluator_factory, k: int = 10):
     """Exact-scoring profile screen: one HMAP query against a list of
     template profiles, using the batched general-gap engine (reference

@@ -92,7 +92,6 @@ def main() -> int:
     scores = run(qc, tc, table, gap)
     scores.block_until_ready()  # compile + warm up
     run(qc, tc, table, gap).block_until_ready()
-
     t0 = time.perf_counter()
     for _ in range(ITERS):
         scores = run(qc, tc, table, gap)
@@ -118,5 +117,42 @@ def main() -> int:
     return 0
 
 
+def _supervised() -> int:
+    """Run the benchmark in a child with a hard timeout and retries — the
+    TPU tunnel in this environment can wedge, and a blocked device call is
+    not interruptible in-process."""
+    import subprocess
+    env = dict(os.environ)
+    env["BENCH_CHILD"] = "1"
+    # persistent compile cache: device compilation through the TPU tunnel is
+    # the flaky step; cache hits skip it on retries
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+    for attempt in range(3):
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, timeout=420, capture_output=True,
+                               text=True)
+        except subprocess.TimeoutExpired:
+            print(f"bench attempt {attempt + 1} timed out (tunnel wedge?); "
+                  "retrying", file=sys.stderr)
+            time.sleep(30)
+            continue
+        sys.stderr.write(r.stderr)
+        if r.returncode == 0 and r.stdout.strip():
+            print(r.stdout.strip().splitlines()[-1])
+            return 0
+        print(f"bench attempt {attempt + 1} failed (rc={r.returncode})",
+              file=sys.stderr)
+        time.sleep(10)
+    print(json.dumps({
+        "metric": "batched_sw_affine_cell_updates_per_sec",
+        "value": 0.0, "unit": "GCUPS", "vs_baseline": 0.0,
+        "detail": {"error": "device compute timed out/failed after 3 attempts"},
+    }))
+    return 1
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main() if os.environ.get("BENCH_CHILD") else _supervised())

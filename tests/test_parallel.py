@@ -91,3 +91,17 @@ def test_profile_screen_exact_scoring():
         dpm = DPMatrix(query, t, HMAPaliEval(params), "fwd", params.align_type)
         assert np.float32(scores[i]) == np.float32(dpm.res.H[-1, -1])
     assert (np.diff(scores[order]) <= 0).all()
+
+
+def test_screen_grid_2d_mesh(inputs):
+    from alignment_algos_tpu.parallel.screen import grid_mesh, screen_grid
+    q, lib, table = inputs
+    qs = np.stack([q, (q + 1) % 20, (q + 5) % 20])
+    mesh = grid_mesh((2, 4))
+    scores, ts, ti = screen_grid(qs, lib, table, 11.0, 1.0, k=5, mesh=mesh)
+    # per-query rows equal the 1-device host screen
+    for r in range(qs.shape[0]):
+        s_host, i_host = screen_library_host(qs[r], lib, table, 11.0, 1.0,
+                                             k=5)
+        np.testing.assert_array_equal(ti[r], i_host)
+        np.testing.assert_allclose(ts[r], s_host, atol=0)
