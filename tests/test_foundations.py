@@ -102,3 +102,26 @@ def test_aaa_end_to_end(tmp_path):
     assert out.returncode == 0, out.stderr
     assert "> templ" in out.stdout
     assert "time for alignment was" in out.stdout
+
+
+def test_hmaprc_reference_param_file():
+    """The reference's canonical production parameter file parses and
+    applies with the same keys (HMAPRC_use_this_param_file)."""
+    from alignment_algos_tpu.scoring.gn2_eval import Gn2Params
+    from alignment_algos_tpu.utils.params import RCfile
+    path = "/root/reference/HMAPRC_use_this_param_file"
+    if not os.path.exists(path):
+        import pytest
+        pytest.skip("reference param file not mounted")
+    rc = RCfile(path)
+    p = Gn2Params()
+    p.read(rc)
+    assert p.number_suboptimal == 1000
+    assert abs(p.delta_ratio - 0.20) < 1e-9
+    assert abs(p.max_overlap - 0.05) < 1e-9
+    assert abs(p.final_overlap - 0.30) < 1e-9
+    assert p.rounds == 1
+    assert p.align_type == 4  # semi_local
+    assert abs(p.ss_weight - 2.2) < 1e-9
+    assert abs(p.cn_weight - 3.4) < 1e-9
+    assert abs(p.gap_init_ss - 100) < 1e-9

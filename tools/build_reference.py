@@ -132,6 +132,64 @@ def main() -> int:
             print(f"FAILED linking {tool}:\n{r.stderr}", file=sys.stderr)
             return 1
         print(f"built {exe}")
+
+    # ---- gn2/hmap2/gnoali evaluator oracle -------------------------------
+    # The real SMAPSequence needs trollbase; a second source tree replaces
+    # gn2lib_seq.h with a stand-in that carries only the derived feature
+    # fields the evaluators read, and fixes gnoalib.h's stale include.
+    src2 = os.path.join(OUT, "src_gn2")
+    if os.path.exists(src2):
+        shutil.rmtree(src2)
+    shutil.copytree(src, src2)
+    with open(os.path.join(src2, "gn2lib_seq.h"), "w") as f:
+        f.write("""
+#ifndef _HMAP2_GN2LIB_SEQ
+#define _HMAP2_GN2LIB_SEQ
+#include "alignment.h"
+#include "hmapalib_seq.h"
+class SMAPSequence;
+class Gn2Eval;
+typedef AlignedPair<HMAPSequence,SMAPSequence> GnAlignedPair;
+typedef list<GnAlignedPair> LGnAlignedPair;
+typedef AlignedPairList<HMAPSequence,SMAPSequence> GnAlignment;
+typedef AlignmentSet<HMAPSequence,SMAPSequence,Gn2Eval> GnAlignmentSet;
+typedef vector<GnAlignment> VGnAlignment;
+// stand-in: derived features only (loaded by tools/oracle_gn2.cpp)
+class SMAPSequence : public HMAPSequence {
+ public:
+  vector<vector<unsigned long> > brokenhb;
+  vector<vector<float> > distance;
+  vector<float> weighted_contact_number;
+  vector<vector<float> > distance2;
+  vector<vector<float> > angle;
+  SMAPSequence() {}
+};
+#endif
+""")
+    p = os.path.join(src2, "gnoalib.h")
+    t = open(p).read().replace('#include "hmapalib.h"',
+                               '#include "hmap_eval.h"')
+    open(p, "w").write(t)
+
+    flags2 = [f if f != src else src2 for f in flags]
+    objs2 = []
+    for cpp in ["gn2_eval.cpp", "hmap2_eval.cpp", "gnoalib.cpp"] + lib_sources:
+        obj = os.path.join(OUT, "gn2_" + cpp.replace(".cpp", ".o"))
+        r = subprocess.run(["g++", "-c"] + flags2 +
+                           ["-o", obj, os.path.join(src2, cpp)],
+                           capture_output=True, text=True)
+        if r.returncode != 0:
+            print(f"FAILED compiling (gn2) {cpp}:\n{r.stderr}", file=sys.stderr)
+            return 1
+        objs2.append(obj)
+    exe = os.path.join(OUT, "oracle_gn2")
+    r = subprocess.run(["g++"] + flags2 + ["-o", exe,
+                        os.path.join(tools_dir, "oracle_gn2.cpp")] + objs2,
+                       capture_output=True, text=True)
+    if r.returncode != 0:
+        print(f"FAILED linking oracle_gn2:\n{r.stderr}", file=sys.stderr)
+        return 1
+    print(f"built {exe}")
     return 0
 
 
