@@ -53,14 +53,18 @@ def _run(argv, use_gn2: bool) -> int:
     print("Reading in query profile", file=sys.stderr)
     query = HMAPSequence.from_file(args.get_arg(1))
     print("Reading in template profile", file=sys.stderr)
+    # S4 links against the gn2 library's SMAPSequence (hmap2_eval.h:17 ->
+    # gn2_eval.h:17 -> gn2lib_seq.h), not gnoali's
     templ = SMAPSequence.from_file(args.get_arg(0),
-                                   verbose=app_params.verbosity, gn2=False)
+                                   verbose=app_params.verbosity, gn2=True)
 
     num_returned = args.get_int("max_returned", 1000)
     num_searched = args.get_int("max_searched", 1000000)
     min_cov = args.get_float("min_cov", 0.4)
     min_CO = args.get_float("min_CO", 0.8)
-    max_in_betw_shift = args.get_int("max_in_betw_shift", 2)
+    # S4_align.cpp:67 defaults to -1; S4_align_gn2.cpp:67 defaults to 2
+    max_in_betw_shift = args.get_int("max_in_betw_shift",
+                                     2 if use_gn2 else -1)
     ali_mode = args.get_int("ali_mode", 1)
     max_cluster_size = args.get_float("max_cluster_size", 0.0)
     native_ali_fn = args.get_str("str_ali", "")

@@ -1,0 +1,78 @@
+"""End-to-end SSSS parity against the compiled reference enumerator.
+
+tools/oracle_s4.cpp drives the reference's real SSSS stack (ssss.h,
+frag_matrix.cpp, frag_set.cpp, skel_set.cpp, ali_strand_eval.cpp, ...)
+on a feature-stub SMAPSequence loaded from our structure pipeline's dump,
+replicating S4_align.cpp:109-138.  The full PIR stdout (fragment graph ->
+skeleton enumeration -> loop sub-DP fills -> rendering) must match our
+cli.s4_align / cli.s4_align_gn2 byte for byte.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from alignment_algos_tpu.structure.smap import SMAPSequence
+
+from smap_dump import make_dump
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DATA = os.path.join(ROOT, "tests", "data")
+ORACLE = "/tmp/refbuild/oracle_s4"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(ORACLE),
+                                reason="s4 oracle not built")
+
+CASES = [
+    ("hmap2", []),
+    ("hmap2", ["--max_returned", "10"]),
+    ("hmap2", ["--max_returned", "25", "--min_cov", "0.2",
+               "--min_CO", "0.5"]),
+    ("hmap2", ["--ali_mode", "0", "--max_returned", "15"]),
+    ("hmap2", ["--max_searched", "500", "--max_returned", "50"]),
+    ("gn2", []),
+    ("gn2", ["--max_returned", "20", "--min_cov", "0.3"]),
+    ("gn2", ["--ali_mode", "0"]),
+]
+
+
+@pytest.fixture(scope="module")
+def dump():
+    templ = SMAPSequence.from_file(os.path.join(DATA, "templ_smap.prof"),
+                                   gn2=True)
+    return make_dump(templ, os.path.join(DATA, "query30.prof"), ssss=True)
+
+
+def run_reference(mode: str, extra: list[str], dump: str) -> str:
+    r = subprocess.run([ORACLE, mode] + extra, input=dump,
+                       capture_output=True, text=True,
+                       env={**os.environ, "HOME": "/tmp/refbuild"},
+                       timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    return r.stdout
+
+
+def run_ours(mode: str, extra: list[str]) -> str:
+    module = ("alignment_algos_tpu.cli.s4_align_gn2" if mode == "gn2"
+              else "alignment_algos_tpu.cli.s4_align")
+    env = dict(os.environ)
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", module,
+         os.path.join(DATA, "templ_smap.prof"),
+         os.path.join(DATA, "query30.prof")] + extra,
+        capture_output=True, text=True, env=env, cwd=ROOT, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    return r.stdout
+
+
+@pytest.mark.parametrize("mode,extra", CASES)
+def test_s4_pir_output_parity(mode, extra, dump):
+    ref = run_reference(mode, extra, dump)
+    ours = run_ours(mode, extra)
+    assert ref.strip(), "reference produced no alignments (bad fixture?)"
+    assert ours == ref

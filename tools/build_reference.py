@@ -38,6 +38,9 @@ namespace Troll {
     static void* topology; };
   class Vector { public: double x,y,z;
     Vector():x(0),y(0),z(0) {}
+    Vector(double a,double b,double c):x(a),y(b),z(c) {}
+    Vector operator-(const Vector& o) const { return Vector(x-o.x,y-o.y,z-o.z); }
+    double norm() const { return __builtin_sqrt(x*x+y*y+z*z); }
     double distanceTo(const Vector& o) const; };
   class Residue; class Chain; class Structure; class PDBFile;
   class SSE; class HBond; class SurfvSurface;
@@ -87,6 +90,30 @@ def main() -> int:
     t = open(p).read()
     t = t.replace("SuboptFlags subopt(templ.size(),true);",
                   "SuboptFlags subopt(true,templ.size());")
+    open(p, "w").write(t)
+
+    # patch 3b: ssss.h:578 dependent-name iterator needs `typename` on
+    # modern g++ (C++98 code predates the strict two-phase lookup)
+    p = os.path.join(src, "ssss.h")
+    t = open(p).read()
+    t = t.replace("map<string,AlignedPairList<S1,S2> >::iterator map_it",
+                  "typename map<string,AlignedPairList<S1,S2> >::iterator map_it")
+    open(p, "w").write(t)
+
+    # patch 3c: sse_frag_set.cpp:236 calls vector::front() on an empty
+    # vector when an SSE column has no available fragments left (UB,
+    # segfaults).  Frag_Set::activate_next_best_available_frag's max-z scan
+    # (frag_set.cpp:126) already starts at -9999, so returning -9999 for an
+    # exhausted column is exactly "skip this column" — the fix our
+    # implementation uses (ssss/frag_set.py).
+    p = os.path.join(src, "sse_frag_set.cpp")
+    t = open(p).read()
+    t = t.replace(
+        "  vector<Ali_Frag*> available_frags = get_available_frags();\n\n"
+        "  return available_frags.front()->zs();",
+        "  vector<Ali_Frag*> available_frags = get_available_frags();\n\n"
+        "  if( available_frags.empty() ) { return -9999.f; }\n"
+        "  return available_frags.front()->zs();")
     open(p, "w").write(t)
 
     # patch 4: 64-bit type fix — kscw.h:188 / crcw.h:242 call
@@ -162,7 +189,13 @@ class SMAPSequence : public HMAPSequence {
   vector<float> weighted_contact_number;
   vector<vector<float> > distance2;
   vector<vector<float> > angle;
+  vector<vector<bool> > hb_contact;  // (nr+1)x(nr+1) symmetric, 1-based
   SMAPSequence() {}
+  bool get_backbone_HB_contact(int i, int j) const {
+    int a = i > j ? i : j;
+    int b = i > j ? j : i;
+    return hb_contact[a][b];
+  }
 };
 #endif
 """)
@@ -173,7 +206,13 @@ class SMAPSequence : public HMAPSequence {
 
     flags2 = [f if f != src else src2 for f in flags]
     objs2 = []
-    for cpp in ["gn2_eval.cpp", "hmap2_eval.cpp", "gnoalib.cpp"] + lib_sources:
+    ssss_sources = ["ali_frag.cpp", "ali_str_info.cpp",
+                "ali_strand_eval.cpp", "frag_matrix.cpp",
+                "frag_set.cpp", "skel_ali.cpp", "skel_set.cpp",
+                "sse_frag_set.cpp", "clusterset.cpp",
+                "kmedoidclusterer.cpp", "UPGMA_Clusterer.cpp",
+                "UPGMA_Tree.cpp"]
+    for cpp in ["gn2_eval.cpp", "hmap2_eval.cpp", "gnoalib.cpp"] + ssss_sources + lib_sources:
         obj = os.path.join(OUT, "gn2_" + cpp.replace(".cpp", ".o"))
         r = subprocess.run(["g++", "-c"] + flags2 +
                            ["-o", obj, os.path.join(src2, cpp)],
@@ -182,14 +221,15 @@ class SMAPSequence : public HMAPSequence {
             print(f"FAILED compiling (gn2) {cpp}:\n{r.stderr}", file=sys.stderr)
             return 1
         objs2.append(obj)
-    exe = os.path.join(OUT, "oracle_gn2")
-    r = subprocess.run(["g++"] + flags2 + ["-o", exe,
-                        os.path.join(tools_dir, "oracle_gn2.cpp")] + objs2,
-                       capture_output=True, text=True)
-    if r.returncode != 0:
-        print(f"FAILED linking oracle_gn2:\n{r.stderr}", file=sys.stderr)
-        return 1
-    print(f"built {exe}")
+    for oracle in ("oracle_gn2", "oracle_s4"):
+        exe = os.path.join(OUT, oracle)
+        r = subprocess.run(["g++"] + flags2 + ["-o", exe,
+                            os.path.join(tools_dir, oracle + ".cpp")] + objs2,
+                           capture_output=True, text=True)
+        if r.returncode != 0:
+            print(f"FAILED linking {oracle}:\n{r.stderr}", file=sys.stderr)
+            return 1
+        print(f"built {exe}")
     return 0
 
 
