@@ -15,10 +15,25 @@ import os
 
 def ensure_platform_from_env() -> None:
     want = os.environ.get("JAX_PLATFORMS")
-    if not want:
+    if want:
+        try:
+            import jax
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
+    _maybe_start_trace()
+
+
+def _maybe_start_trace() -> None:
+    """Whole-process XLA profiler capture when AAT_TRACE_DIR is set
+    (utils/profiling.py): trace starts here, stops at interpreter exit."""
+    logdir = os.environ.get("AAT_TRACE_DIR")
+    if not logdir:
         return
     try:
+        import atexit
         import jax
-        jax.config.update("jax_platforms", want)
+        jax.profiler.start_trace(logdir)
+        atexit.register(jax.profiler.stop_trace)
     except Exception:
         pass

@@ -105,3 +105,81 @@ def test_screen_grid_2d_mesh(inputs):
                                              k=5)
         np.testing.assert_array_equal(ti[r], i_host)
         np.testing.assert_allclose(ts[r], s_host, atol=0)
+
+
+# ---------------------------------------------------------------------------
+# checkpoint/resume (parallel/checkpoint.py)
+
+def test_checkpointed_screen_matches_direct(inputs, tmp_path):
+    from alignment_algos_tpu.parallel.checkpoint import (
+        screen_library_checkpointed)
+    q, lib, table = inputs
+    mesh = default_mesh(8)
+    ck = str(tmp_path / "screen.npz")
+    s, i, done = screen_library_checkpointed(q, lib, table, 11.0, 1.0, k=12,
+                                             chunk_size=10, ckpt_path=ck,
+                                             mesh=mesh)
+    assert done
+    s_ref, i_ref = screen_library_host(q, lib, table, 11.0, 1.0, k=12)
+    np.testing.assert_array_equal(i, i_ref)
+    np.testing.assert_array_equal(s, s_ref)
+
+
+def test_checkpointed_screen_resumes(inputs, tmp_path):
+    from alignment_algos_tpu.parallel import checkpoint as cp
+    q, lib, table = inputs
+    mesh = default_mesh(8)
+    ck = str(tmp_path / "screen.npz")
+    # simulate preemption after 2 of 4 chunks
+    s, i, done = cp.screen_library_checkpointed(
+        q, lib, table, 11.0, 1.0, k=12, chunk_size=10, ckpt_path=ck,
+        mesh=mesh, max_chunks=2)
+    assert not done
+    # resume must process only the remaining chunks and finish
+    calls = []
+    orig = cp.screen_library
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    cp.screen_library, orig_ref = counting, cp.screen_library
+    try:
+        s2, i2, done2 = cp.screen_library_checkpointed(
+            q, lib, table, 11.0, 1.0, k=12, chunk_size=10, ckpt_path=ck,
+            mesh=mesh)
+    finally:
+        cp.screen_library = orig_ref
+    assert done2 and len(calls) == 2  # 4 chunks total, 2 already done
+    s_ref, i_ref = screen_library_host(q, lib, table, 11.0, 1.0, k=12)
+    np.testing.assert_array_equal(i2, i_ref)
+    np.testing.assert_array_equal(s2, s_ref)
+
+
+def test_checkpoint_shape_mismatch_rejected(inputs, tmp_path):
+    from alignment_algos_tpu.parallel.checkpoint import (
+        screen_library_checkpointed)
+    q, lib, table = inputs
+    mesh = default_mesh(8)
+    ck = str(tmp_path / "screen.npz")
+    screen_library_checkpointed(q, lib, table, 11.0, 1.0, k=12,
+                                chunk_size=10, ckpt_path=ck, mesh=mesh)
+    with pytest.raises(ValueError, match="different screen shape"):
+        screen_library_checkpointed(q, lib, table, 11.0, 1.0, k=12,
+                                    chunk_size=5, ckpt_path=ck, mesh=mesh)
+
+
+def test_profiling_helpers(tmp_path):
+    from alignment_algos_tpu.utils import profiling
+    # no-op path
+    with profiling.maybe_trace() as d:
+        assert d is None
+    # real trace capture
+    logdir = str(tmp_path / "trace")
+    with profiling.maybe_trace(logdir):
+        with profiling.annotate("region"):
+            jax.jit(lambda x: x * 2)(np.ones(4)).block_until_ready()
+    import os
+    assert any("plugins" in r or f for r, _, f in os.walk(logdir))
+    sw = profiling.Stopwatch()
+    assert sw.cups(10_000) > 0 and profiling.cups(100, 0.0) == float("inf")
