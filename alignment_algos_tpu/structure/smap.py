@@ -243,14 +243,18 @@ class SMAPSequence(HMAPSequence):
                 occupancy[t] = True
             occ = occupancy[1 : nr + 1]
             with np.errstate(divide="ignore"):
+                # each term is divided by len BEFORE accumulation
+                # (gn2lib_seq.cpp:311: `model_cn[i] += (0.722f/d2)/len`)
                 contrib = np.where(mask & occ[None, :],
-                                   np.float32(0.722) / d2, np.float32(0.0))
-            model_cn += (np.cumsum(contrib, axis=1, dtype=np.float32)[:, -1]
-                         / length).astype(np.float32)
+                                   (np.float32(0.722) / d2) / length,
+                                   np.float32(0.0))
+            model_cn += np.cumsum(contrib, axis=1, dtype=np.float32)[:, -1]
         wcn = self.weighted_contact_number
+        r32 = np.float32(ratio)
+        one_minus = np.float32(np.float32(1.0) - r32)  # f32 subtraction order
         for i in range(1, nr + 1):
-            wcn[i] = np.float32(wcn[i] * np.float32(ratio))
-            wcn[i] = np.float32(wcn[i] + np.float32(1.0 - ratio) * model_cn[i - 1])
+            wcn[i] = np.float32(wcn[i] * r32)
+            wcn[i] = np.float32(wcn[i] + one_minus * model_cn[i - 1])
 
     def _calc_accessibility(self) -> None:
         nr = len(self.chain)

@@ -62,4 +62,6 @@ def make_dump(templ, qprof_path: str, ssss: bool = False) -> str:
             hbc.append(" ".join(str(int(v))
                                 for v in templ._hb_contact[i, : i + 1]))
         out.append("hbc " + " ".join(hbc))
+        out.append("cbd2 " + f32s(templ._cb_dist2))
+        out.append("name " + templ.seq_name)
     return "\n".join(out) + "\n"

@@ -190,11 +190,40 @@ class SMAPSequence : public HMAPSequence {
   vector<vector<float> > distance2;
   vector<vector<float> > angle;
   vector<vector<bool> > hb_contact;  // (nr+1)x(nr+1) symmetric, 1-based
+  vector<vector<float> > cb_dist2;   // (nr)x(nr) squared CB distances
   SMAPSequence() {}
   bool get_backbone_HB_contact(int i, int j) const {
     int a = i > j ? i : j;
     int b = i > j ? j : i;
     return hb_contact[a][b];
+  }
+  // semantics of SMAPSequence::updateCore (gn2lib_seq.cpp:289-326) on the
+  // stand-in fields: blend WCN with alignment-set-averaged model contact
+  // numbers (window ao=0, same 14.5<d2<256 gate as calcWCN)
+  void updateCore(const GnAlignmentSet& as, float ratio) {
+    unsigned int ao(0);
+    unsigned int nr(seq_length);
+    float span(ao * 2 + 1);
+    float len((float)as.size());
+    vector<float> model_cn(nr, 0.f);
+    for (VGnAlignment::const_iterator al_it = as.begin();
+         al_it != as.end(); al_it++) {
+      vector<bool> occupancy(nr + 2, false);
+      for (LGnAlignedPair::const_iterator ap_it = al_it->begin();
+           ap_it != al_it->end(); ap_it++)
+        occupancy[ap_it->template_idx()] = true;
+      for (unsigned int i = 0; i < nr; ++i)
+        for (unsigned int j = 0; j < nr; ++j)
+          if (cb_dist2[i][j] > 14.5f && cb_dist2[i][j] < 256.f &&
+              occupancy[j + 1])
+            model_cn[i] += (0.722f / cb_dist2[i][j]) / len;
+    }
+    for (unsigned int i = 1; i <= nr; ++i) {
+      weighted_contact_number[i] *= ratio;
+      for (unsigned int z = (1u > i - ao ? 1u : i - ao);
+           z <= (nr < i + ao ? nr : i + ao); ++z)
+        weighted_contact_number[z] += (1.f - ratio) * model_cn[i - 1] / span;
+    }
   }
 };
 #endif
@@ -221,7 +250,7 @@ class SMAPSequence : public HMAPSequence {
             print(f"FAILED compiling (gn2) {cpp}:\n{r.stderr}", file=sys.stderr)
             return 1
         objs2.append(obj)
-    for oracle in ("oracle_gn2", "oracle_s4"):
+    for oracle in ("oracle_gn2", "oracle_s4", "oracle_gn2cli", "oracle_nalign2"):
         exe = os.path.join(OUT, oracle)
         r = subprocess.run(["g++"] + flags2 + ["-o", exe,
                             os.path.join(tools_dir, oracle + ".cpp")] + objs2,

@@ -32,98 +32,9 @@
 #include "optimal.h"
 #include "sflags.h"
 
+#include "oracle_smap_dump.h"
+
 using namespace std;
-
-static SMAPSequence* read_dump(istream& in, string& qprof_path) {
-  string tag;
-  int n;
-  in >> tag >> n >> qprof_path;
-  int t2 = n + 2;
-
-  SMAPSequence* templp = new SMAPSequence();
-  SMAPSequence& templ = *templp;
-  templ.seq_length = n;
-  for (int i = 0; i < t2; ++i) templ.push_back(new HMAPElem());
-  templ[0]->olc = SequenceElem::Head;
-  templ[t2 - 1]->olc = SequenceElem::Tail;
-  for (int i = 1; i < t2 - 1; ++i) templ[i]->olc = 'A';
-
-  in >> tag;
-  for (int i = 0; i < t2; ++i) in >> templ[i]->lods_type;
-  templ.weighted_contact_number.resize(t2);
-  in >> tag;
-  for (int i = 0; i < t2; ++i) in >> templ.weighted_contact_number[i];
-  in >> tag;
-  for (int i = 0; i < t2; ++i) in >> templ[i]->sse_values[2];
-  in >> tag;
-  for (int i = 0; i < t2; ++i) in >> templ[i]->rdata.isse;
-  in >> tag;
-  for (int i = 0; i < t2; ++i) {
-    long st; in >> st;
-    templ[i]->rdata.sse_type = (unsigned long)st;
-  }
-  in >> tag;
-  for (int i = 0; i < t2; ++i) in >> templ[i]->rdata.accessibility;
-  in >> tag;
-  for (int i = 0; i < t2; ++i)
-    for (int k = 0; k < 20; ++k) in >> templ[i]->aa_profile[k];
-  in >> tag;
-  for (int i = 0; i < t2; ++i) in >> templ[i]->hydropathy;
-  in >> tag;
-  for (int i = 0; i < t2; ++i)
-    in >> templ[i]->sse_values[0] >> templ[i]->sse_values[1]
-       >> templ[i]->sse_confid;
-  in >> tag;  // gap values (4 per position)
-  for (int i = 0; i < t2; ++i)
-    for (int k = 0; k < 4; ++k) in >> templ[i]->gap_values[k];
-
-  templ.distance.resize(n);
-  in >> tag;
-  for (int i = 2; i < n + 2; ++i) {
-    templ.distance[i - 2].resize(i - 1);
-    for (int j = 0; j < i - 1; ++j) in >> templ.distance[i - 2][j];
-  }
-  templ.distance2.resize(n);
-  in >> tag;
-  for (int i = 2; i < n + 2; ++i) {
-    templ.distance2[i - 2].resize(i - 1);
-    for (int j = 0; j < i - 1; ++j) in >> templ.distance2[i - 2][j];
-  }
-  templ.angle.resize(n);
-  in >> tag;
-  for (int i = 2; i < n + 2; ++i) {
-    templ.angle[i - 2].resize(i - 1);
-    for (int j = 0; j < i - 1; ++j) in >> templ.angle[i - 2][j];
-  }
-  templ.brokenhb.resize(n);
-  in >> tag;
-  for (int i = 0; i < n; ++i) {
-    templ.brokenhb[i].resize(n);
-    for (int j = 0; j <= i; ++j) in >> templ.brokenhb[i][j];
-  }
-
-  // ---- SSSS-specific extras ----
-  string olcs;
-  in >> tag >> olcs;
-  for (int i = 1; i < t2 - 1 && i < (int)olcs.size() - 1; ++i)
-    templ[i]->olc = olcs[i];
-
-  in >> tag;
-  for (int i = 0; i < t2; ++i)
-    in >> templ[i]->rdata.cb.x >> templ[i]->rdata.cb.y
-       >> templ[i]->rdata.cb.z;
-
-  in >> tag;
-  templ.hb_contact.resize(n + 1);
-  for (int i = 0; i < n + 1; ++i) {
-    templ.hb_contact[i].resize(i + 1);
-    for (int j = 0; j <= i; ++j) {
-      int v; in >> v;
-      templ.hb_contact[i][j] = (v != 0);
-    }
-  }
-  return templp;
-}
 
 int main(int argc, const char** argv) {
   try {
@@ -131,7 +42,7 @@ int main(int argc, const char** argv) {
     string mode = args.getArg(0).str();
 
     string qprof_path;
-    SMAPSequence* templ = read_dump(cin, qprof_path);
+    SMAPSequence* templ = read_smap_dump(cin, qprof_path);
     HMAPSequence query(qprof_path.c_str());
 
     Gn2Params ali_params;
