@@ -64,4 +64,6 @@ def make_dump(templ, qprof_path: str, ssss: bool = False) -> str:
         out.append("hbc " + " ".join(hbc))
         out.append("cbd2 " + f32s(templ._cb_dist2))
         out.append("name " + templ.seq_name)
+        out.append(f"evd {float(templ.evd1_field):.17g} "
+                   f"{float(templ.evd2_field):.17g}")
     return "\n".join(out) + "\n"

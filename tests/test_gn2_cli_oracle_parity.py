@@ -91,3 +91,32 @@ def test_nalign2_cli_parity(extra, dump):
     ours = run_ours("nalign2", args)
     assert ref.strip(), "reference produced no output"
     assert ours == ref
+
+
+# ---------------------------------------------------------------------------
+# gnoali CLI (tools/oracle_gnoali.cpp — gnoali.cpp:19-121; exercises the
+# LogisticNormal e-value annotations end to end)
+
+ORACLE_GNOALI = "/tmp/refbuild/oracle_gnoali"
+
+GNOALI_CASES = [["-opt"], [], ["--OUTPUT_FORMAT", "1"]]
+
+
+@pytest.fixture(scope="module")
+def gnoali_dump():
+    templ = SMAPSequence.from_file(os.path.join(DATA, "templ_smap.prof"),
+                                   gn2=False)
+    return make_dump(templ, os.path.join(DATA, "query30.prof"), ssss=True)
+
+
+@pytest.mark.skipif(not os.path.exists(ORACLE_GNOALI),
+                    reason="gnoali oracle not built")
+@pytest.mark.parametrize("extra", GNOALI_CASES)
+def test_gnoali_cli_parity(extra, gnoali_dump):
+    args = extra + (["--OUTPUT_FORMAT", "2"]
+                    if "--OUTPUT_FORMAT" not in extra else [])
+    ref = run_reference(ORACLE_GNOALI, args, gnoali_dump)
+    ours = run_ours("gnoali", args)
+    assert ref.strip(), "reference produced no output"
+    assert "ev=" in ours or "--OUTPUT_FORMAT" in extra
+    assert ours == ref

@@ -250,7 +250,7 @@ class SMAPSequence : public HMAPSequence {
             print(f"FAILED compiling (gn2) {cpp}:\n{r.stderr}", file=sys.stderr)
             return 1
         objs2.append(obj)
-    for oracle in ("oracle_gn2", "oracle_s4", "oracle_gn2cli", "oracle_nalign2"):
+    for oracle in ("oracle_gn2", "oracle_s4", "oracle_gn2cli", "oracle_nalign2", "oracle_gnoali"):
         exe = os.path.join(OUT, oracle)
         r = subprocess.run(["g++"] + flags2 + ["-o", exe,
                             os.path.join(tools_dir, oracle + ".cpp")] + objs2,

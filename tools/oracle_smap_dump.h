@@ -115,6 +115,9 @@ inline SMAPSequence* read_smap_dump(std::istream& in,
   }
   // ---- optional template sequence name (FASTA/PIR headers) ----
   if (in >> tag && tag == "name") in >> templ.seq_name;
+  // ---- optional EVD significance fields ----
+  if (in >> tag && tag == "evd")
+    in >> templ.evd1_field >> templ.evd2_field;
   return templp;
 }
 
