@@ -40,6 +40,8 @@ GN2_CASES = [
     ["-crcw", "--NUM_SUBOPT", "1"],       # opt-after-rounds branch
     ["-crcw", "--NUM_SUBOPT", "0"],       # fresh-opt-after-rounds branch
     ["-crcw", "--OUTPUT_FORMAT", "1"],    # PIR
+    ["-opt", "--OUTPUT_FORMAT", "0",      # HMAP 5-row blocks + match marks
+     "--SUB_MATRIX", os.path.join(DATA, "BLOSUM62")],
 ]
 
 NALIGN2_CASES = [["-opt"], ["-ucw"], ["-kscw"], ["-crcw"], []]
