@@ -192,6 +192,11 @@ class SMAPSequence : public HMAPSequence {
   vector<vector<bool> > hb_contact;  // (nr+1)x(nr+1) symmetric, 1-based
   vector<vector<float> > cb_dist2;   // (nr)x(nr) squared CB distances
   SMAPSequence() {}
+  // get_shifts' core-flags mode loads an SMAP profile directly; that path
+  // needs trollbase and stays unavailable in the oracle build
+  SMAPSequence(const char*, int = 0, bool = false) {
+    throw string("SMAP file loading unavailable in oracle build");
+  }
   bool get_backbone_HB_contact(int i, int j) const {
     int a = i > j ? i : j;
     int b = i > j ? j : i;
@@ -228,6 +233,20 @@ class SMAPSequence : public HMAPSequence {
 };
 #endif
 """)
+    p = os.path.join(src2, "get_shifts.cpp")
+    t = open(p).read().replace('#include "ali_dist.h"',
+                               '#include "ali_dist.h"\n#include "aasubalib.h"')
+    # get_shifts.cpp:26 passes the template-name AASubstitutionEval as a
+    # type argument (ill-formed; predates strict compilers); instantiate it
+    t = t.replace("AlignmentSet<S1,S2,AASubstitutionEval>",
+                  "AlignmentSet<S1,S2,AASubstitutionEval<S1,S2> >")
+    # core-flags mode needs trollbase topology loading; the stub ctor throws
+    # anyway, so drop the Troll setup lines (non-core mode untouched)
+    t = t.replace("    Troll::Application app;\n"
+                  "    parameters.Load( Troll::Application::topology_file );\n",
+                  "")
+    open(p, "w").write(t)
+
     p = os.path.join(src2, "gnoalib.h")
     t = open(p).read().replace('#include "hmapalib.h"',
                                '#include "hmap_eval.h"')
@@ -250,10 +269,13 @@ class SMAPSequence : public HMAPSequence {
             print(f"FAILED compiling (gn2) {cpp}:\n{r.stderr}", file=sys.stderr)
             return 1
         objs2.append(obj)
-    for oracle in ("oracle_gn2", "oracle_s4", "oracle_gn2cli", "oracle_nalign2", "oracle_gnoali"):
+    oracle_mains = [(o, os.path.join(tools_dir, o + ".cpp"))
+                    for o in ("oracle_gn2", "oracle_s4", "oracle_gn2cli",
+                              "oracle_nalign2", "oracle_gnoali")]
+    oracle_mains.append(("get_shifts", os.path.join(src2, "get_shifts.cpp")))
+    for oracle, main_cpp in oracle_mains:
         exe = os.path.join(OUT, oracle)
-        r = subprocess.run(["g++"] + flags2 + ["-o", exe,
-                            os.path.join(tools_dir, oracle + ".cpp")] + objs2,
+        r = subprocess.run(["g++"] + flags2 + ["-o", exe, main_cpp] + objs2,
                            capture_output=True, text=True)
         if r.returncode != 0:
             print(f"FAILED linking {oracle}:\n{r.stderr}", file=sys.stderr)
