@@ -69,6 +69,9 @@ def _run(argv, use_gn2: bool) -> int:
     max_cluster_size = args.get_float("max_cluster_size", 0.0)
     native_ali_fn = args.get_str("str_ali", "")
     tracking = 1 if native_ali_fn else 0
+    # opt-in: working version of the reference's dead cluster_alignments
+    # (skel_set.cpp:625-683); uses max_cluster_size as the UPGMA cut
+    cluster = args.get_int("cluster", 0) == 1
 
     ev = Gn2Eval(ali_params) if use_gn2 else Hmap2Eval(ali_params)
     dpm_fwd = DPMatrix(query, templ, ev, "fwd")
@@ -78,7 +81,8 @@ def _run(argv, use_gn2: bool) -> int:
 
     s_four = SSSS(ali_params, ev, dpm_fwd, num_returned, num_searched,
                   min_cov, min_CO, max_in_betw_shift, ali_mode,
-                  max_cluster_size, tracking, native_ali_fn)
+                  max_cluster_size, tracking, native_ali_fn,
+                  cluster=cluster)
     s_four.enumerate(dpm_fwd, alignments)
     print("Done enumerating suboptimal alignments", file=sys.stderr)
     return 0

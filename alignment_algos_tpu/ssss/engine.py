@@ -54,7 +54,8 @@ class SSSS:
                  min_CO: float, max_frag_shift: int, ali_mode: int,
                  max_cluster_shift: float, tracking: int = 0,
                  native_ali: str = "",
-                 strand_rule_bug_compat: bool = True) -> None:
+                 strand_rule_bug_compat: bool = True,
+                 cluster: bool = False) -> None:
         self.params = params
         self.evaluator = evaluator
         self.dpm = dpm
@@ -68,6 +69,10 @@ class SSSS:
         self.tracking_mode = tracking == 1
         self.native_ali = native_ali
         self.strand_rule_bug_compat = strand_rule_bug_compat
+        # opt-in working version of the reference's dead cluster_alignments
+        # (skel_set.cpp:625-683); off by default for parity (never called
+        # in the reference)
+        self.cluster_mode = cluster
 
         self.query_len = dpm.get_query_size() - 1
         self.templ_len = dpm.get_template_size() - 1
@@ -235,6 +240,8 @@ class SSSS:
                           self.Dist_Measurer,
                           strand_rule_bug_compat=self.strand_rule_bug_compat)
         builder.find_top_skeletons()
+        if self.cluster_mode:
+            builder.cluster_alignments()
         self.Returned_Skel_Alis = builder.get_top_skels()
 
     def enumerate(self, dpm_fwd: DPMatrix, as_: AlignmentSet,

@@ -239,3 +239,59 @@ class SkelSet:
 
     def get_top_skels(self) -> list[SkelAli]:
         return list(self.Top_Skels)
+
+    # ------------------------------------------------------------------
+    def get_exact_inter_ali_areas(self, skels: list[SkelAli]):
+        """All-pairs exact area distance between skeleton polylines
+        (skel_set.cpp:686-759, minus its hard-coded debug probes/pauses)."""
+        import numpy as np
+        from ..analysis.ali_dist import AliDist
+        n = len(skels)
+        area = np.zeros((n, n), dtype=np.float64)
+        for i in range(n):
+            X = AliDist()
+            X.load_main_vrp(skels[i].export_vrp())
+            for j in range(i):
+                X.load_test_vrp(skels[j].export_vrp())
+                a = X.get_area_between_main_and_test()
+                if a < 0.0:
+                    raise ValueError(
+                        f"invalid area measurement between alis {i} and "
+                        f"{j}: {a}")
+                area[i, j] = area[j, i] = a
+        return area
+
+    def cluster_alignments(self) -> None:
+        """UPGMA-cluster Top_Skels by exact inter-alignment area and keep
+        one representative per cluster.
+
+        A *working* implementation of the reference's dead code
+        (skel_set.cpp:625-683, entire body commented out): transfer
+        Top_Skels, compute the exact area matrix, UPGMA-cluster, cut the
+        tree at ``max_cluster_size``, keep the first member of each cluster
+        (the reference's own NOTE says it "arbitrarily selects the first
+        member"), then insertion-re-sort descending by score with the
+        reference's exact tie behavior (a new skeleton is inserted *before*
+        equal-scored earlier ones, skel_set.cpp:663-678)."""
+        if len(self.Top_Skels) < 2 or self.max_cluster_size <= 0.0:
+            return
+        from ..analysis.upgma import UPGMAClusterer
+        skels = list(self.Top_Skels)
+        area = self.get_exact_inter_ali_areas(skels)
+        clusterer = UPGMAClusterer(area)
+        clusterer.cluster()
+        clusters = clusterer.find_clusters_under_threshold(
+            self.max_cluster_size)
+        print(f"cluster_alignments: max_cluster_size: "
+              f"{self.max_cluster_size:g}", file=sys.stderr)
+        print(f"cluster_alignments: # clusters found: {len(clusters)}",
+              file=sys.stderr)
+        reps = [skels[members[0]] for members in clusters]
+        sorted_skels: list[SkelAli] = []
+        for sa in reps:
+            pos = 0
+            while (pos < len(sorted_skels)
+                   and sa.get_score() < sorted_skels[pos].get_score()):
+                pos += 1
+            sorted_skels.insert(pos, sa)
+        self.Top_Skels = sorted_skels

@@ -107,3 +107,37 @@ def test_s4_cli_end_to_end():
     assert r.returncode == 0, r.stderr[-3000:]
     assert "#start" in r.stdout
     assert "mdl_1" in r.stdout
+
+
+def test_cluster_alignments_reduces_and_sorts(setup):
+    """Working version of the reference's dead cluster_alignments
+    (skel_set.cpp:625-683): clustering keeps one representative per UPGMA
+    cluster and re-sorts descending by score."""
+    s4_plain = make_ssss(setup)
+    as_plain = AlignmentSet()
+    s4_plain.enumerate(setup[4], as_plain, pir_stream=io.StringIO())
+
+    s4 = make_ssss(setup, max_cluster_shift=0.05, cluster=True)
+    as_ = AlignmentSet()
+    s4.enumerate(setup[4], as_, pir_stream=io.StringIO())
+
+    assert 1 <= len(as_) <= len(as_plain)
+    scores = [sk.get_score() for sk in s4.Returned_Skel_Alis]
+    assert scores == sorted(scores, reverse=True)
+    # huge threshold collapses everything into one cluster
+    s4_one = make_ssss(setup, max_cluster_shift=1e9, cluster=True)
+    as_one = AlignmentSet()
+    s4_one.enumerate(setup[4], as_one, pir_stream=io.StringIO())
+    assert len(s4_one.Returned_Skel_Alis) == 1
+
+
+def test_cluster_flag_off_is_parity_neutral(setup):
+    """cluster=False (default) must not change enumeration output even with
+    a nonzero max_cluster_shift (the reference never calls the dead code)."""
+    a = make_ssss(setup, max_cluster_shift=0.05)
+    b = make_ssss(setup, max_cluster_shift=0.05, cluster=False)
+    out_a, out_b = AlignmentSet(), AlignmentSet()
+    sa, sb = io.StringIO(), io.StringIO()
+    a.enumerate(setup[4], out_a, pir_stream=sa)
+    b.enumerate(setup[4], out_b, pir_stream=sb)
+    assert sa.getvalue() == sb.getvalue()
