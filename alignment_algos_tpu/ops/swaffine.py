@@ -38,13 +38,17 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _sw_kernel(gap_ref, sd_ref, out_ref, hm1, hm2, e, f, m, *, q: int, t: int,
-               qp: int):
-    d = pl.program_id(0)
-    nd = pl.num_programs(0)
+               qp: int, kd: int):
+    """One grid step advances ``kd`` anti-diagonals (in-kernel loop over the
+    (kd, qp, B) similarity block).  Blocking amortizes the per-grid-step
+    pipeline cost — with one diagonal per step the fixed overhead of ~1000
+    tiny steps dominated the VPU work 5:1."""
+    blk = pl.program_id(0)
+    nblk = pl.num_programs(0)
     gi = gap_ref[0, 0]
     ge = gap_ref[0, 1]
 
-    @pl.when(d == 0)
+    @pl.when(blk == 0)
     def _():
         hm1[:] = jnp.zeros_like(hm1)
         hm2[:] = jnp.zeros_like(hm2)
@@ -52,58 +56,80 @@ def _sw_kernel(gap_ref, sd_ref, out_ref, hm1, hm2, e, f, m, *, q: int, t: int,
         f[:] = jnp.full_like(f, NEG)
         m[:] = jnp.zeros_like(m)
 
-    s = sd_ref[0].astype(jnp.float32)  # (qp, B) similarity along diagonal d
-
     ii = jax.lax.broadcasted_iota(jnp.int32, (qp, 1), 0)
-    jj = d - ii
-    valid = (ii < q) & (jj >= 0) & (jj < t)
 
     # shift along the query axis: row i reads row i-1 of the previous diag
     def shift_down(x):
         y = pltpu.roll(x, 1, axis=0)
         return jnp.where(ii == 0, jnp.float32(0.0), y)
 
-    e_new = jnp.maximum(e[:] - ge, hm1[:] - gi)
-    f_prev = shift_down(f[:])
-    f_shift_h = shift_down(hm1[:])
-    f_new = jnp.maximum(jnp.where(ii == 0, NEG, f_prev - ge),
-                        jnp.where(ii == 0, NEG, f_shift_h - gi))
-    h_diag = shift_down(hm2[:])
-    h_new = jnp.maximum(
-        jnp.maximum(h_diag + s, jnp.float32(0.0)),
-        jnp.maximum(e_new, f_new))
-    h_new = jnp.where(valid, h_new, jnp.float32(0.0))
-    e_new = jnp.where(valid, e_new, NEG)
-    f_new = jnp.where(valid, f_new, NEG)
+    def one_diag(d, s, h1, h2, eo, fo):
+        """One Gotoh wavefront step in registers.
 
-    m[:] = jnp.maximum(m[:], h_new)
-    hm2[:] = hm1[:]
-    hm1[:] = h_new
-    e[:] = e_new
-    f[:] = f_new
+        e/f are deliberately NOT masked to the valid band: outside it they
+        drift, but the drift values are provably < 0 (pre-valid h is 0, so
+        e,f <= -gi under the recurrence) and right-edge cells never feed a
+        valid cell again, so the masked h — the only state that reaches m —
+        is unaffected."""
+        jj = d - ii
+        valid = (ii < q) & (jj >= 0) & (jj < t)
+        e_new = jnp.maximum(eo - ge, h1 - gi)
+        f_new = jnp.maximum(pltpu.roll(fo, 1, axis=0) - ge,
+                            pltpu.roll(h1, 1, axis=0) - gi)
+        f_new = jnp.where(ii == 0, NEG, f_new)  # row 0 wrap guard
+        h_new = jnp.maximum(
+            jnp.maximum(shift_down(h2) + s, jnp.float32(0.0)),
+            jnp.maximum(e_new, f_new))
+        h_new = jnp.where(valid, h_new, jnp.float32(0.0))
+        return h_new, e_new, f_new
 
-    @pl.when(d == nd - 1)
+    def body(k, _):
+        # two diagonals per iteration: intermediates stay in registers, so
+        # scratch traffic per diagonal is halved (the kernel is VMEM-op
+        # bound, not FLOP bound)
+        d0 = blk * kd + 2 * k
+        sA = sd_ref[2 * k].astype(jnp.float32)
+        sB = sd_ref[2 * k + 1].astype(jnp.float32)
+        h1 = hm1[:]
+        hA, eA, fA = one_diag(d0, sA, h1, hm2[:], e[:], f[:])
+        hB, eB, fB = one_diag(d0 + 1, sB, hA, h1, eA, fA)
+        m[:] = jnp.maximum(m[:], jnp.maximum(hA, hB))
+        hm2[:] = hA
+        hm1[:] = hB
+        e[:] = eB
+        f[:] = fB
+        return 0
+
+    jax.lax.fori_loop(0, kd // 2, body, 0, unroll=True)
+
+    @pl.when(blk == nblk - 1)
     def _():
         out_ref[0] = jnp.max(m[:], axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("q", "t"))
+@functools.partial(jax.jit, static_argnames=("q", "t", "kd"))
 def sw_affine_scores_from_skewed(sd: jax.Array, gap: jax.Array, *, q: int,
-                                 t: int) -> jax.Array:
+                                 t: int, kd: int = 16) -> jax.Array:
     """sd: (D, Qp, B) skewed similarity (D = q+t-1); gap: (1,2) [gi, ge].
-    Returns (B,) local alignment scores."""
+    Returns (B,) local alignment scores.  kd = anti-diagonals per grid step
+    (padded diagonals past D are masked out by the validity predicate)."""
     nd, qp, b = sd.shape
-    kernel = functools.partial(_sw_kernel, q=q, t=t, qp=qp)
+    if kd % 2:
+        raise ValueError("kd must be even (two diagonals per loop step)")
+    nblk = -(-nd // kd)
+    if nblk * kd != nd:
+        sd = jnp.pad(sd, ((0, nblk * kd - nd), (0, 0), (0, 0)))
+    kernel = functools.partial(_sw_kernel, q=q, t=t, qp=qp, kd=kd)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, b), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
-            grid=(nd,),
+            grid=(nblk,),
             in_specs=[
                 pl.BlockSpec((1, 2), lambda d: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, qp, b), lambda d: (d, 0, 0)),
+                pl.BlockSpec((kd, qp, b), lambda d: (d, 0, 0)),
             ],
             out_specs=pl.BlockSpec((1, b), lambda d: (0, 0)),
             scratch_shapes=[

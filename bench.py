@@ -29,7 +29,7 @@ REF_BASELINE_CUPS = 0.62e6  # measured: /tmp/refbuild/aaa, 512x512, see above
 B = 128
 Q = T = 512
 GI, GE = 11.0, 1.0
-ITERS = 50
+ITERS = 32
 
 
 def measure_reference() -> float:
@@ -73,9 +73,16 @@ def main() -> int:
     import jax.numpy as jnp
     from alignment_algos_tpu.ops import swaffine
 
+    # Honest-measurement methodology (important on remote-tunneled devices,
+    # which deduplicate identical dispatches and whose block_until_ready is
+    # unreliable): every iteration gets DISTINCT inputs, every iteration's
+    # scores fold into a device-side accumulator, and a single host
+    # materialization of the accumulator at the end forces every execution.
     rng = np.random.default_rng(0)
-    qc = jnp.asarray(rng.integers(0, 20, (B, Q)), dtype=jnp.int32)
-    tc = jnp.asarray(rng.integers(0, 20, (B, T)), dtype=jnp.int32)
+    qcs = [jnp.asarray(rng.integers(0, 20, (B, Q)), dtype=jnp.int32)
+           for _ in range(ITERS)]
+    tcs = [jnp.asarray(rng.integers(0, 20, (B, T)), dtype=jnp.int32)
+           for _ in range(ITERS)]
     from alignment_algos_tpu.scoring.submatrix import BlosumMatrix
     bl = BlosumMatrix(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    "tests", "data", "BLOSUM62"))
@@ -84,19 +91,24 @@ def main() -> int:
     gap = jnp.array([[GI, GE]], dtype=jnp.float32)
 
     @jax.jit
-    def run(qcodes, tcodes, tbl, gp):
-        s = swaffine.similarity_from_codes(qcodes, tcodes, tbl)
+    def run(qcodes, tcodes, tbl, gp, acc):
+        # bf16 similarity is exact for integer substitution tables; the DP
+        # kernel accumulates in float32
+        s = swaffine.similarity_from_codes(qcodes, tcodes, tbl,
+                                           sim_dtype=jnp.bfloat16)
         sd = swaffine.skew_similarity(s)
-        return swaffine.sw_affine_scores_from_skewed(sd, gp, q=Q, t=T)
+        scores = swaffine.sw_affine_scores_from_skewed(sd, gp, q=Q, t=T)
+        return acc + jnp.sum(scores)
 
-    scores = run(qc, tc, table, gap)
-    scores.block_until_ready()  # compile + warm up
-    run(qc, tc, table, gap).block_until_ready()
+    acc = jnp.float32(0.0)
+    np.asarray(run(qcs[0], tcs[0], table, gap, acc))  # compile + warm up
+    acc = jnp.float32(0.0)
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        scores = run(qc, tc, table, gap)
-    scores.block_until_ready()
+    for i in range(ITERS):
+        acc = run(qcs[i], tcs[i], table, gap, acc)
+    total = float(np.asarray(acc))  # single pull forces the whole chain
     dt = time.perf_counter() - t0
+    assert np.isfinite(total)
 
     cells = B * Q * T * ITERS
     cups = cells / dt
