@@ -34,9 +34,10 @@ NEG = jnp.float32(-3.0e38)
 
 @partial(jax.jit, static_argnames=("q0", "q1", "t0", "t1", "local",
                                    "zero_head", "zero_tail"))
-def _dp_forward(S, D, Cpad, ins0, ins_close, *, q0: int, q1: int, t0: int,
+def _dp_forward(S, D, CpadR, ins0, ins_close, *, q0: int, q1: int, t0: int,
                 t1: int, local: bool, zero_head: bool, zero_tail: bool):
-    """Cpad[(q2-1)+d, j] = insertion cost for a query gap of span d ending at
+    """CpadR = host-reversed Cpad, where Cpad[(q2-1)+d, j] = insertion cost
+    for a query gap of span d ending at
     template column j, precomputed on host with the reference's exact
     float32 mul-then-add (no FMA contraction inside the kernel).  ins0 /
     ins_close are the boundary-column / closing-scan cost vectors."""
@@ -75,7 +76,11 @@ def _dp_forward(S, D, Cpad, ins0, ins_close, *, q0: int, q1: int, t0: int,
         Hprev = H[i - 1]
         sim = S[i]
 
-        match = clamp(Hprev[jnp.maximum(jj - 1, 0)] + sim)
+        # diagonal predecessor = Hprev shifted right by one column (edge
+        # duplicate matches the old clamped-index gather at j==0, which the
+        # boundary masking discards anyway); an explicit shift avoids an
+        # XLA gather, which lowers to a slow scalar loop on TPU
+        match = clamp(jnp.concatenate([Hprev[:1], Hprev[:-1]]) + sim)
 
         # deletion candidates: (T2, T2) over predecessor k (prev row)
         dc = clamp((Hprev[:, None] - D) + sim[None, :])
@@ -84,9 +89,10 @@ def _dp_forward(S, D, Cpad, ins0, ins_close, *, q0: int, q1: int, t0: int,
         del_arg = jnp.argmax(dc, axis=0)
 
         # insertion candidates: (Q2, T2) over predecessor row k (col j-1);
-        # cost[k, j] = Cpad[(q2-1) + i - k, j], gathered as a flipped slice
+        # cost[k, j] = Cpad[(q2-1) + i - k, j] = CpadR[(q2 - i) + k, j]
+        # (CpadR is Cpad row-reversed on host: one slice, no per-row flip)
         Hsh = jnp.concatenate([jnp.zeros((q2, 1), jnp.float32), H[:, :-1]], axis=1)
-        cost = jnp.flip(jax.lax.dynamic_slice_in_dim(Cpad, i, q2, axis=0), 0)
+        cost = jax.lax.dynamic_slice_in_dim(CpadR, q2 - i, q2, axis=0)
         ic = clamp((Hsh - cost) + sim[None, :])
         ins_kmask = (qk[:, None] >= q0 + 1) & (qk[:, None] <= i - 2)
         ic = jnp.where(ins_kmask, ic, NEG)
@@ -177,7 +183,7 @@ def build_forward_jax(c: DPCosts, q0: int, q1: int, t0: int, t1: int,
         ins_close = np.zeros_like(ins_close)
 
     H, pq_rows, pt_rows, bq, bt = _dp_forward(
-        jnp.asarray(c.S), jnp.asarray(c.D), jnp.asarray(Cpad),
+        jnp.asarray(c.S), jnp.asarray(c.D), jnp.asarray(Cpad[::-1].copy()),
         jnp.asarray(ins0), jnp.asarray(ins_close),
         q0=q0, q1=q1, t0=t0, t1=t1, local=local,
         zero_head=zero_head, zero_tail=zero_tail)
@@ -201,14 +207,14 @@ def build_forward_jax(c: DPCosts, q0: int, q1: int, t0: int, t1: int,
 
 @partial(jax.jit, static_argnames=("q0", "q1", "t0", "t1", "local",
                                    "zero_head", "zero_tail"))
-def _dp_forward_batched(S, D, Cpad, ins0, ins_close, *, q0, q1, t0, t1,
+def _dp_forward_batched(S, D, CpadR, ins0, ins_close, *, q0, q1, t0, t1,
                         local, zero_head, zero_tail):
     """vmap of the forward engine over a leading batch axis — the exact
     general-gap DP for B same-shape pairs in one device program (profile
     library screens with reference scoring)."""
     fn = partial(_dp_forward.__wrapped__, q0=q0, q1=q1, t0=t0, t1=t1,
                  local=local, zero_head=zero_head, zero_tail=zero_tail)
-    return jax.vmap(fn)(S, D, Cpad, ins0, ins_close)
+    return jax.vmap(fn)(S, D, CpadR, ins0, ins_close)
 
 
 def build_forward_jax_batched(costs: list[DPCosts], local: bool = False):
@@ -246,7 +252,7 @@ def build_forward_jax_batched(costs: list[DPCosts], local: bool = False):
 
     H, pq_rows, pt_rows, bq, bt = _dp_forward_batched(
         jnp.asarray(np.stack(S_b)), jnp.asarray(np.stack(D_b)),
-        jnp.asarray(np.stack(Cpad_b)), jnp.asarray(np.stack(ins0_b)),
+        jnp.asarray(np.stack(Cpad_b)[:, ::-1].copy()), jnp.asarray(np.stack(ins0_b)),
         jnp.asarray(np.stack(insc_b)),
         q0=q0, q1=q1, t0=t0, t1=t1, local=local,
         zero_head=zero_head, zero_tail=zero_tail)
