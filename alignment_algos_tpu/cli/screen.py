@@ -110,6 +110,9 @@ def _run(argv) -> int:
     thresh = args.get_float("cluster_threshold", 0.9)
     ckpt = args.get_str("ckpt", "")
     chunk = args.get_int("chunk_size", 1024)
+    if args.get_int("profiles", 0) == 1:
+        return _run_profiles(args, k)  # profile mode needs no submatrix
+
     if not ali_params.submatrix_fn:
         raise ValueError("no substitution matrix: pass --SUB_MATRIX <file> "
                          "or set SUB_MATRIX in ~/.hmaprc / -top file")
@@ -147,6 +150,43 @@ def _run(argv) -> int:
     if len(idx) >= 2:
         _cluster_hits(q_codes, t_codes, table, gi, ge, scores, idx, names,
                       thresh)
+    return 0
+
+
+def _run_profiles(args, k: int) -> int:
+    """``--profiles 1``: query.prof vs a directory (or list file) of .prof
+    templates, scored with the exact HMAP profile-profile evaluator
+    (position-specific gaps, z-normalized similarity — the nalign scoring
+    path) through the batched general-gap engine."""
+    import glob
+    import os
+
+    from ..scoring.hmap_eval import HMAPaliEval, HMAPaliParams
+    from ..seq.hmap import HMAPSequence
+    from ..parallel.screen import screen_profiles
+
+    query = HMAPSequence.from_file(args.get_arg(0))
+    lib_arg = args.get_arg(1)
+    if os.path.isdir(lib_arg):
+        files = sorted(glob.glob(os.path.join(lib_arg, "*.prof")))
+    else:
+        with open(lib_arg) as f:
+            files = [l.strip() for l in f if l.strip()]
+    if not files:
+        raise ValueError(f"no template profiles found in {lib_arg}")
+    templates = [HMAPSequence.from_file(fn) for fn in files]
+
+    params = HMAPaliParams()
+
+    def factory(q, t):
+        return HMAPaliEval(params)
+
+    scores, order = screen_profiles(query, templates, factory, k=k)
+    print(f"# query profile vs {len(templates)} template profiles; "
+          f"top {len(order)}")
+    print("# rank\tscore\tindex\tfile")
+    for r, i in enumerate(order, start=1):
+        print(f"{r}\t{scores[int(i)]:g}\t{int(i)}\t{files[int(i)]}")
     return 0
 
 

@@ -127,3 +127,40 @@ def test_padding_wall_preserves_scores(fastas):
     t_pad[0, :50] = t
     padded = screen_library_host(q, t_pad, table, 11.0, 1.0, k=1)[0]
     np.testing.assert_array_equal(unpadded, padded)
+
+
+def test_profiles_mode_matches_nalign_scores(tmp_path):
+    """--profiles 1 ranks by the exact HMAP evaluator's optimal global
+    score: cross-check each screened score against a direct DPMatrix build."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from make_profiles import make_profile
+    from alignment_algos_tpu.core.dp import DPMatrix
+    from alignment_algos_tpu.scoring.hmap_eval import (HMAPaliEval,
+                                                       HMAPaliParams)
+    from alignment_algos_tpu.seq.hmap import HMAPSequence
+
+    rng = np.random.default_rng(5)
+    d = tmp_path / "lib"
+    d.mkdir()
+    qfn = tmp_path / "q.prof"
+    qfn.write_text(make_profile(rng, "qry", 40))
+    for i in range(4):
+        (d / f"t{i}.prof").write_text(
+            make_profile(rng, f"t{i}", int(rng.integers(30, 60))))
+
+    rc, out, err = _run([str(qfn), str(d), "--profiles", "1", "--top_k", "4"])
+    assert rc == 0, err
+    rows = [l.split("\t") for l in out.splitlines()
+            if l and not l.startswith("#") and "\t" in l]
+    assert len(rows) == 4
+
+    query = HMAPSequence.from_file(str(qfn))
+    p = HMAPaliParams()
+    for r in rows:
+        templ = HMAPSequence.from_file(r[3])
+        dpm = DPMatrix(query, templ, HMAPaliEval(p), "fwd")
+        want = dpm.score(dpm.get_query_size() - 1,
+                         dpm.get_template_size() - 1)
+        assert abs(float(r[1]) - want) < 1e-3, (r, want)  # %g prints 6 sig figs
