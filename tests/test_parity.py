@@ -1,11 +1,12 @@
 """Golden parity vs the reference binaries.
 
 Fixtures in tests/golden/ were produced by the compiled reference
-(tools/build_reference.py + tools/make_golden.py).  aaa outputs are compared
-byte-for-byte.  nalign outputs involve float32 z-normalization whose
-accumulation order differs between numpy (pairwise) and the reference
-(sequential valarray sums), so numeric annotations are compared to 1e-3
-relative and alignment strings/structure exactly.
+(tools/build_reference.py + tools/make_golden.py).  Both aaa and nalign
+outputs are compared byte-for-byte: utils/hmath.py replicates the
+reference's strictly sequential float32 accumulation order (valarray sums)
+in the similarity dot products and z-normalization, so even the floating
+numeric annotations match exactly.  (fuzzy_equal remains as a diagnostic
+helper for triaging future fixture regressions.)
 """
 
 from __future__ import annotations
@@ -123,4 +124,7 @@ def test_nalign_parity(name):
     args = [os.path.join(INP, a) if a.endswith((".prof", ".flag")) else a
             for a in NALIGN_CASES[name]]
     out = run_mine("nalign", args)
-    fuzzy_equal(out, gold(name))
+    # byte-equal: the z-normalization and similarity sums replicate the
+    # reference's sequential float32 accumulation order (utils/hmath.py),
+    # so even the numeric annotations match exactly
+    assert out == gold(name)
