@@ -40,11 +40,21 @@ CASES = [
 ]
 
 
+FIXTURES = {
+    # 30-res fold (3 SSEs) and a 51-res fold (2 helices + 3 strands:
+    # bigger fragment graph, live strand rules; tools/make_smap_fixture.py)
+    "small": ("templ_smap.prof", "query30.prof"),
+    "big": ("templ_big.prof", "query_big.prof"),
+}
+
+
 @pytest.fixture(scope="module")
-def dump():
-    templ = SMAPSequence.from_file(os.path.join(DATA, "templ_smap.prof"),
-                                   gn2=True)
-    return make_dump(templ, os.path.join(DATA, "query30.prof"), ssss=True)
+def dumps():
+    out = {}
+    for tag, (tfn, qfn) in FIXTURES.items():
+        templ = SMAPSequence.from_file(os.path.join(DATA, tfn), gn2=True)
+        out[tag] = make_dump(templ, os.path.join(DATA, qfn), ssss=True)
+    return out
 
 
 def run_reference(mode: str, extra: list[str], dump: str) -> str:
@@ -56,23 +66,25 @@ def run_reference(mode: str, extra: list[str], dump: str) -> str:
     return r.stdout
 
 
-def run_ours(mode: str, extra: list[str]) -> str:
+def run_ours(mode: str, extra: list[str], fixture: str = "small") -> str:
     module = ("alignment_algos_tpu.cli.s4_align_gn2" if mode == "gn2"
               else "alignment_algos_tpu.cli.s4_align")
+    tfn, qfn = FIXTURES[fixture]
     env = dict(os.environ)
     env.setdefault("JAX_PLATFORMS", "cpu")
     r = subprocess.run(
         [sys.executable, "-m", module,
-         os.path.join(DATA, "templ_smap.prof"),
-         os.path.join(DATA, "query30.prof")] + extra,
+         os.path.join(DATA, tfn),
+         os.path.join(DATA, qfn)] + extra,
         capture_output=True, text=True, env=env, cwd=ROOT, timeout=300)
     assert r.returncode == 0, r.stderr[-2000:]
     return r.stdout
 
 
+@pytest.mark.parametrize("fixture", sorted(FIXTURES))
 @pytest.mark.parametrize("mode,extra", CASES)
-def test_s4_pir_output_parity(mode, extra, dump):
-    ref = run_reference(mode, extra, dump)
-    ours = run_ours(mode, extra)
+def test_s4_pir_output_parity(mode, extra, fixture, dumps):
+    ref = run_reference(mode, extra, dumps[fixture])
+    ours = run_ours(mode, extra, fixture)
     assert ref.strip(), "reference produced no alignments (bad fixture?)"
     assert ours == ref
