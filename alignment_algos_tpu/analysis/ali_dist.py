@@ -282,6 +282,112 @@ def _g(v: float) -> str:
     return f"{float(v):.6g}"
 
 
+# ---- native all-pairs engine (native/alidist.cpp) ----------------------
+
+_native_lib = None
+_native_tried = False
+
+
+def _load_native():
+    """Self-building ctypes bridge, same pattern as core/enumerators/native:
+    AAT_ALIDIST_BACKEND=python forces the host implementation."""
+    global _native_lib, _native_tried
+    import os
+    if os.environ.get("AAT_ALIDIST_BACKEND", "auto") == "python":
+        return None
+    if _native_lib is not None or _native_tried:
+        return _native_lib
+    _native_tried = True
+    import ctypes
+    import subprocess
+    d = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "native")
+    src = os.path.join(d, "alidist.cpp")
+    so = os.path.join(d, "_alidist.so")
+    if (not os.path.exists(so)
+            or os.path.getmtime(so) < os.path.getmtime(src)):
+        try:
+            subprocess.run(["c++", "-O2", "-ffp-contract=off", "-shared",
+                            "-fPIC", "-o", so, src],
+                           check=True, capture_output=True)
+        except (OSError, subprocess.CalledProcessError):
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    lib.ali_area_matrix.restype = ctypes.c_long
+    lib.ali_area_one_to_many.restype = ctypes.c_long
+    _native_lib = lib
+    return lib
+
+
+def _vrps_to_arrays(vrps):
+    ts = np.concatenate([[p.t for p in v] for v in vrps]).astype(np.float32)
+    qs = np.concatenate([[p.q for p in v] for v in vrps]).astype(np.float32)
+    offs = np.zeros(len(vrps) + 1, dtype=np.int64)
+    np.cumsum([len(v) for v in vrps], out=offs[1:])
+    return ts, qs, offs
+
+
+def area_matrix(vrps: list[list[ResPair]]) -> np.ndarray:
+    """Symmetric K x K exact area matrix over alignment polylines.  Native
+    C++ engine when available (bit-identical float32 op order), pure-Python
+    AliDist otherwise."""
+    import ctypes
+    k = len(vrps)
+    out = np.zeros((k, k), dtype=np.float32)
+    lib = _load_native()
+    if lib is not None and k:
+        ts, qs, offs = _vrps_to_arrays(vrps)
+        rc = lib.ali_area_matrix(
+            ts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            qs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_long(k),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if rc == 0:
+            return out
+    X = AliDist()
+    for i in range(k):
+        X.load_main_vrp(vrps[i])
+        for j in range(i):
+            X.load_test_vrp(vrps[j])
+            a = np.float32(X.get_area_between_main_and_test())
+            out[i, j] = out[j, i] = a
+    return out
+
+
+def area_one_to_many(main_vrp: list[ResPair],
+                     test_vrps: list[list[ResPair]]) -> np.ndarray:
+    """Exact areas of one polyline vs many (get_shifts batch shape)."""
+    import ctypes
+    k = len(test_vrps)
+    out = np.zeros(k, dtype=np.float32)
+    lib = _load_native()
+    if lib is not None and k:
+        mt = np.asarray([p.t for p in main_vrp], dtype=np.float32)
+        mq = np.asarray([p.q for p in main_vrp], dtype=np.float32)
+        ts, qs, offs = _vrps_to_arrays(test_vrps)
+        rc = lib.ali_area_one_to_many(
+            mt.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            mq.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_long(len(main_vrp)),
+            ts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            qs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_long(k),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if rc == 0:
+            return out
+    X = AliDist()
+    X.load_main_vrp(main_vrp)
+    for j in range(k):
+        X.load_test_vrp(test_vrps[j])
+        out[j] = np.float32(X.get_area_between_main_and_test())
+    return out
+
+
 def _iter_pir_strings(text: str):
     """Yield (templ, query) gapped strings per #start block, with sentinel
     bracketing (ali_dist.cpp extract_next_ali)."""

@@ -243,23 +243,17 @@ class SkelSet:
     # ------------------------------------------------------------------
     def get_exact_inter_ali_areas(self, skels: list[SkelAli]):
         """All-pairs exact area distance between skeleton polylines
-        (skel_set.cpp:686-759, minus its hard-coded debug probes/pauses)."""
+        (skel_set.cpp:686-759, minus its hard-coded debug probes/pauses);
+        native C++ engine (native/alidist.cpp) when available."""
         import numpy as np
-        from ..analysis.ali_dist import AliDist
-        n = len(skels)
-        area = np.zeros((n, n), dtype=np.float64)
-        for i in range(n):
-            X = AliDist()
-            X.load_main_vrp(skels[i].export_vrp())
-            for j in range(i):
-                X.load_test_vrp(skels[j].export_vrp())
-                a = X.get_area_between_main_and_test()
-                if a < 0.0:
-                    raise ValueError(
-                        f"invalid area measurement between alis {i} and "
-                        f"{j}: {a}")
-                area[i, j] = area[j, i] = a
-        return area
+        from ..analysis.ali_dist import area_matrix
+        area = area_matrix([sk.export_vrp() for sk in skels])
+        bad = np.argwhere(area < 0.0)
+        if bad.size:
+            i, j = bad[0]
+            raise ValueError(f"invalid area measurement between alis {i} "
+                             f"and {j}: {area[i, j]}")
+        return area.astype(np.float64)
 
     def cluster_alignments(self) -> None:
         """UPGMA-cluster Top_Skels by exact inter-alignment area and keep
