@@ -233,15 +233,19 @@ class AliDist:
 
     def batch_compare_to_main_ali(self, fn: str) -> None:
         """Parse concatenated PIR blocks, tabulating dist + coverages
-        (ali_dist.cpp:568-604)."""
+        (ali_dist.cpp:568-604).  Areas go through the native batch engine
+        when available (bit-identical to the in-place path)."""
         with open(fn) as f:
             text = f.read()
-        for templ, query in _iter_pir_strings(text):
-            self.test_ali = strings_to_vrp(templ, query)
-            tmc = self._mutual_coverage("t")
-            qmc = self._mutual_coverage("q")
-            dist = float(F32(self.get_area_between_main_and_test())
-                         / F32(self.templ_length))
+        vrps = [strings_to_vrp(t, q) for t, q in _iter_pir_strings(text)]
+        covs = []
+        for vrp in vrps:
+            self.test_ali = vrp
+            covs.append((self._mutual_coverage("t"),
+                         self._mutual_coverage("q")))
+        areas = area_one_to_many(self.main_ali, vrps)
+        for (tmc, qmc), area in zip(covs, areas):
+            dist = float(F32(area) / F32(self.templ_length))
             self.batch_dists.append([dist, tmc, qmc, float(F32(tmc) * F32(qmc))])
 
     def print_batch_dists(self, out) -> None:
