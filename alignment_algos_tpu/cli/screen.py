@@ -112,6 +112,8 @@ def _run(argv) -> int:
     chunk = args.get_int("chunk_size", 1024)
     if args.get_int("profiles", 0) == 1:
         return _run_profiles(args, k)  # profile mode needs no submatrix
+    if args.get_int("smap", 0) == 1:
+        return _run_profiles(args, k, smap=True)  # fold recognition
 
     if not ali_params.submatrix_fn:
         raise ValueError("no substitution matrix: pass --SUB_MATRIX <file> "
@@ -153,15 +155,19 @@ def _run(argv) -> int:
     return 0
 
 
-def _run_profiles(args, k: int) -> int:
+def _run_profiles(args, k: int, smap: bool = False) -> int:
     """``--profiles 1``: query.prof vs a directory (or list file) of .prof
     templates, scored with the exact HMAP profile-profile evaluator
     (position-specific gaps, z-normalized similarity — the nalign scoring
-    path) through the batched general-gap engine."""
+    path) through the batched general-gap engine.
+
+    ``--smap 1``: fold recognition — the templates are SMAP structure
+    profiles (``PDB:`` header) scored with the full Gn2Eval structure-aware
+    model (distance-gated deletions, H-bond and contact-number terms — the
+    gn2 scoring path) at library scale."""
     import glob
     import os
 
-    from ..scoring.hmap_eval import HMAPaliEval, HMAPaliParams
     from ..seq.hmap import HMAPSequence
     from ..parallel.screen import screen_profiles
 
@@ -174,15 +180,23 @@ def _run_profiles(args, k: int) -> int:
             files = [l.strip() for l in f if l.strip()]
     if not files:
         raise ValueError(f"no template profiles found in {lib_arg}")
-    templates = [HMAPSequence.from_file(fn) for fn in files]
 
-    params = HMAPaliParams()
-
-    def factory(q, t):
-        return HMAPaliEval(params)
+    if smap:
+        from ..scoring.gn2_eval import Gn2Eval, Gn2Params
+        from ..structure.smap import SMAPSequence
+        templates = [SMAPSequence.from_file(fn, gn2=True) for fn in files]
+        params = Gn2Params()
+        factory = lambda q, t: Gn2Eval(params)
+        kind = "SMAP structure"
+    else:
+        from ..scoring.hmap_eval import HMAPaliEval, HMAPaliParams
+        templates = [HMAPSequence.from_file(fn) for fn in files]
+        params = HMAPaliParams()
+        factory = lambda q, t: HMAPaliEval(params)
+        kind = "template"
 
     scores, order = screen_profiles(query, templates, factory, k=k)
-    print(f"# query profile vs {len(templates)} template profiles; "
+    print(f"# query profile vs {len(templates)} {kind} profiles; "
           f"top {len(order)}")
     print("# rank\tscore\tindex\tfile")
     for r, i in enumerate(order, start=1):

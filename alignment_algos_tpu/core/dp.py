@@ -102,7 +102,11 @@ class DPMatrix:
         else:
             q0, t0, q1, t1 = 0, 0, q2 - 1, t2 - 1
 
-        if _use_jax(q2, t2):
+        # route on the EFFECTIVE rectangle: SSSS loop fills are tiny
+        # sub-builds of big sequences, and every distinct sub-bounds tuple
+        # would otherwise trigger a fresh XLA compile (~1 s) that dwarfs the
+        # host build (profiled: 94% of SSSS enumerate time was compilation)
+        if _use_jax(q1 - q0 + 1, t1 - t0 + 1):
             from ..ops import dp_engine
             if self.direction == FWD:
                 self.res = dp_engine.build_forward_jax(

@@ -164,3 +164,34 @@ def test_profiles_mode_matches_nalign_scores(tmp_path):
         want = dpm.score(dpm.get_query_size() - 1,
                          dpm.get_template_size() - 1)
         assert abs(float(r[1]) - want) < 1e-3, (r, want)  # %g prints 6 sig figs
+
+
+def test_smap_fold_recognition_mode(tmp_path):
+    """--smap 1 ranks SMAP structure templates by the exact Gn2Eval optimal
+    global score (fold recognition); cross-checked against direct builds."""
+    from alignment_algos_tpu.core.dp import DPMatrix
+    from alignment_algos_tpu.scoring.gn2_eval import Gn2Eval, Gn2Params
+    from alignment_algos_tpu.seq.hmap import HMAPSequence
+    from alignment_algos_tpu.structure.smap import SMAPSequence
+
+    lst = tmp_path / "smaps.txt"
+    files = [os.path.join(DATA, "templ_smap.prof"),
+             os.path.join(DATA, "templ_big.prof")]
+    lst.write_text("".join(f + "\n" for f in files))
+    qfn = os.path.join(DATA, "query30.prof")
+    rc, out, err = _run([qfn, str(lst), "--smap", "1", "--top_k", "2"])
+    assert rc == 0, err
+    rows = [l.split("\t") for l in out.splitlines()
+            if l and not l.startswith("#") and "\t" in l]
+    assert len(rows) == 2
+    scores = [float(r[1]) for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+    query = HMAPSequence.from_file(qfn)
+    p = Gn2Params()
+    for r in rows:
+        templ = SMAPSequence.from_file(r[3], gn2=True)
+        dpm = DPMatrix(query, templ, Gn2Eval(p), "fwd")
+        want = dpm.score(dpm.get_query_size() - 1,
+                         dpm.get_template_size() - 1)
+        assert abs(float(r[1]) - want) < 1e-3, (r, want)
