@@ -239,7 +239,9 @@ class SSSS:
                           self.All_Frags, self.Str, self.Strand_Eval,
                           self.Dist_Measurer,
                           strand_rule_bug_compat=self.strand_rule_bug_compat)
-        builder.find_top_skeletons()
+        from .native_search import find_top_skeletons_native
+        if not find_top_skeletons_native(builder):
+            builder.find_top_skeletons()
         if self.cluster_mode:
             builder.cluster_alignments()
         self.Returned_Skel_Alis = builder.get_top_skels()

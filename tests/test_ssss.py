@@ -141,3 +141,23 @@ def test_cluster_flag_off_is_parity_neutral(setup):
     a.enumerate(setup[4], out_a, pir_stream=sa)
     b.enumerate(setup[4], out_b, pir_stream=sb)
     assert sa.getvalue() == sb.getvalue()
+
+
+def test_native_search_matches_python_backend(setup, monkeypatch):
+    """The C++ phase-2 engine (native/ssss_search.cpp) must produce
+    byte-identical PIR output and identical skeleton stats vs the Python
+    SkelSet search."""
+    outs = {}
+    skels = {}
+    for backend in ("auto", "python"):
+        monkeypatch.setenv("AAT_SSSS_BACKEND", backend)
+        s4 = make_ssss(setup)
+        as_ = AlignmentSet()
+        sio = io.StringIO()
+        s4.enumerate(setup[4], as_, pir_stream=sio)
+        outs[backend] = sio.getvalue()
+        skels[backend] = [(sk.get_score(), sk.get_num_aligned(),
+                           sk.get_contact_order())
+                          for sk in s4.Returned_Skel_Alis]
+    assert outs["auto"] == outs["python"]
+    assert skels["auto"] == skels["python"]
