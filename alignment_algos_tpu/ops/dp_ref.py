@@ -63,9 +63,94 @@ def _ins_cost_vec(c: DPCosts, ks: np.ndarray, q2_pos: int, j: int) -> np.ndarray
     return cost
 
 
+# ---- native engine (native/dpref.cpp) -----------------------------------
+
+_nlib = None
+_ntried = False
+
+
+def _load_native():
+    """Self-building ctypes bridge; AAT_DPREF_BACKEND=python forces the
+    numpy implementation."""
+    global _nlib, _ntried
+    import os
+    if os.environ.get("AAT_DPREF_BACKEND", "auto") == "python":
+        return None
+    if _nlib is not None or _ntried:
+        return _nlib
+    _ntried = True
+    import ctypes
+    import subprocess
+    d = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "native")
+    src = os.path.join(d, "dpref.cpp")
+    so = os.path.join(d, "_dpref.so")
+    if (not os.path.exists(so)
+            or os.path.getmtime(so) < os.path.getmtime(src)):
+        try:
+            subprocess.run(["c++", "-O2", "-ffp-contract=off", "-shared",
+                            "-fPIC", "-o", so, src],
+                           check=True, capture_output=True)
+        except (OSError, subprocess.CalledProcessError):
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    lib.dpref_build_forward.restype = ctypes.c_long
+    lib.dpref_build_reverse.restype = ctypes.c_long
+    _nlib = lib
+    return lib
+
+
+def _native_call(lib, c: DPCosts, q0, q1, t0, t1, local, res,
+                 reverse=False, bug_compat=True):
+    import ctypes
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    S = np.ascontiguousarray(c.S, dtype=np.float32)
+    D = np.ascontiguousarray(c.D, dtype=np.float32)
+    A = np.ascontiguousarray(c.A, dtype=np.float32)
+    B = np.ascontiguousarray(c.B, dtype=np.float32)
+    has_c = c.C is not None
+    Cv = np.ascontiguousarray(c.C if has_c else np.zeros(1),
+                              dtype=np.float32)
+    args = [S.ctypes.data_as(fp), D.ctypes.data_as(fp),
+            A.ctypes.data_as(fp), B.ctypes.data_as(fp),
+            Cv.ctypes.data_as(fp) if has_c else ctypes.cast(None, fp),
+            ctypes.c_long(c.ins_dist_offset),
+            ctypes.c_int(1 if c.ins_zero_head_q else 0),
+            ctypes.c_int(1 if c.ins_zero_tail_q else 0),
+            ctypes.c_long(c.q_size), ctypes.c_long(c.t_size),
+            ctypes.c_long(q0), ctypes.c_long(q1),
+            ctypes.c_long(t0), ctypes.c_long(t1),
+            ctypes.c_int(1 if local else 0)]
+    if reverse:
+        args.append(ctypes.c_int(1 if bug_compat else 0))
+    args += [res.H.ctypes.data_as(fp), res.PQ.ctypes.data_as(ip),
+             res.PT.ctypes.data_as(ip)]
+    fn = lib.dpref_build_reverse if reverse else lib.dpref_build_forward
+    return fn(*args)
+
+
 def build_forward(c: DPCosts, q0: int, q1: int, t0: int, t1: int,
                   local: bool = False, res: DPResult | None = None) -> DPResult:
-    """build_forw_dpm_nonlinear_gaps / build_forw_local_dpm_nonlinear_gaps."""
+    """build_forw_dpm_nonlinear_gaps / build_forw_local_dpm_nonlinear_gaps.
+    Dispatches to the bit-identical native engine when available."""
+    if q1 <= q0 or t1 <= t0:
+        raise ValueError("Illegal bounds building DPM")
+    lib = _load_native()
+    if lib is not None:
+        if res is None:
+            res = DPResult(c.q_size, c.t_size)
+        if _native_call(lib, c, q0, q1, t0, t1, local, res) == 0:
+            return res
+    return _build_forward_py(c, q0, q1, t0, t1, local=local, res=res)
+
+
+def _build_forward_py(c: DPCosts, q0: int, q1: int, t0: int, t1: int,
+                      local: bool = False, res: DPResult | None = None) -> DPResult:
+    """Pure-numpy implementation (the parity reference)."""
     S, D = c.S, c.D
     if res is None:
         res = DPResult(c.q_size, c.t_size)
@@ -149,8 +234,25 @@ def build_reverse(c: DPCosts, q0: int, q1: int, t0: int, t1: int,
 
     ``bug_compat`` replicates the reference defect at dpmatrix.h:868: in the
     non-local reverse build's closing scan, an insertion winner records
-    prev_template_idx = t1-1 instead of t0+1.
-    """
+    prev_template_idx = t1-1 instead of t0+1.  Dispatches to the
+    bit-identical native engine when available."""
+    if q1 <= q0 or t1 <= t0:
+        raise ValueError("Illegal bounds building DPM")
+    lib = _load_native()
+    if lib is not None:
+        if res is None:
+            res = DPResult(c.q_size, c.t_size)
+        if _native_call(lib, c, q0, q1, t0, t1, local, res, reverse=True,
+                        bug_compat=bug_compat) == 0:
+            return res
+    return _build_reverse_py(c, q0, q1, t0, t1, local=local, res=res,
+                             bug_compat=bug_compat)
+
+
+def _build_reverse_py(c: DPCosts, q0: int, q1: int, t0: int, t1: int,
+                      local: bool = False, res: DPResult | None = None,
+                      bug_compat: bool = True) -> DPResult:
+    """Pure-numpy implementation (the parity reference)."""
     S, D = c.S, c.D
     if res is None:
         res = DPResult(c.q_size, c.t_size)
