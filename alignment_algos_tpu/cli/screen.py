@@ -111,9 +111,9 @@ def _run(argv) -> int:
     ckpt = args.get_str("ckpt", "")
     chunk = args.get_int("chunk_size", 1024)
     if args.get_int("profiles", 0) == 1:
-        return _run_profiles(args, k)  # profile mode needs no submatrix
+        return _run_profiles(args, k, rc, top)  # needs no submatrix
     if args.get_int("smap", 0) == 1:
-        return _run_profiles(args, k, smap=True)  # fold recognition
+        return _run_profiles(args, k, rc, top, smap=True)  # fold recognition
 
     if not ali_params.submatrix_fn:
         raise ValueError("no substitution matrix: pass --SUB_MATRIX <file> "
@@ -155,7 +155,8 @@ def _run(argv) -> int:
     return 0
 
 
-def _run_profiles(args, k: int, smap: bool = False) -> int:
+def _run_profiles(args, k: int, rc=None, top=None,
+                  smap: bool = False) -> int:
     """``--profiles 1``: query.prof vs a directory (or list file) of .prof
     templates, scored with the exact HMAP profile-profile evaluator
     (position-specific gaps, z-normalized similarity — the nalign scoring
@@ -186,12 +187,14 @@ def _run_profiles(args, k: int, smap: bool = False) -> int:
         from ..structure.smap import SMAPSequence
         templates = [SMAPSequence.from_file(fn, gn2=True) for fn in files]
         params = Gn2Params()
+        apply_layers([params], rc, top, args)
         factory = lambda q, t: Gn2Eval(params)
         kind = "SMAP structure"
     else:
         from ..scoring.hmap_eval import HMAPaliEval, HMAPaliParams
         templates = [HMAPSequence.from_file(fn) for fn in files]
         params = HMAPaliParams()
+        apply_layers([params], rc, top, args)
         factory = lambda q, t: HMAPaliEval(params)
         kind = "template"
 
