@@ -195,3 +195,26 @@ def test_smap_fold_recognition_mode(tmp_path):
         want = dpm.score(dpm.get_query_size() - 1,
                          dpm.get_template_size() - 1)
         assert abs(float(r[1]) - want) < 1e-3, (r, want)
+
+
+def test_profiles_mode_honors_param_overrides(tmp_path):
+    """--KEY overrides flow into the evaluator params (4-layer precedence)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from make_profiles import make_profile
+    rng = np.random.default_rng(5)
+    d = tmp_path / "lib"
+    d.mkdir()
+    qfn = tmp_path / "q.prof"
+    qfn.write_text(make_profile(rng, "qry", 40))
+    for i in range(3):
+        (d / f"t{i}.prof").write_text(
+            make_profile(rng, f"t{i}", 40))
+    base = [str(qfn), str(d), "--profiles", "1", "--top_k", "3"]
+    rc1, out1, _ = _run(base)
+    rc2, out2, _ = _run(base + ["--CORE_MATCH_WEIGHT", "2.5"])
+    assert rc1 == rc2 == 0
+    rows = lambda o: [l for l in o.splitlines() if "\t" in l and
+                      not l.startswith("#")]
+    assert rows(out1) != rows(out2)
