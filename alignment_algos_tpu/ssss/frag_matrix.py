@@ -46,6 +46,13 @@ class FragMatrix:
         self.ali_mode = ali_mode
         self.Compare_to_Native = compare_to_native
         self.min_aligned_residues = min_cov_res
+        # validity and extension info depend only on immutable fragment
+        # geometry (cores, qt shifts) and the static sims/cb_dists/TSR
+        # arrays, so they are memoized across the per-activation full
+        # reconnection sweeps (the reference recomputes them every time,
+        # frag_matrix.cpp:464-513 — same results, O(F^2) fewer rescans)
+        self._valid_cache: dict = {}
+        self._conn_info_cache: dict = {}
 
     # ------------------------------------------------------------------
     def create_all_fragments(self, fs: FragSet) -> None:
@@ -123,6 +130,15 @@ class FragMatrix:
                 < F32(q0_next - q1_prev) * F32(3.3))
 
     def connection_is_valid(self, fs: FragSet, af1: AliFrag, af2: AliFrag) -> bool:
+        key = (af1.sse_id, af1.frag_id, af2.sse_id, af2.frag_id)
+        hit = self._valid_cache.get(key)
+        if hit is not None:
+            return hit
+        out = self._connection_is_valid(fs, af1, af2)
+        self._valid_cache[key] = out
+        return out
+
+    def _connection_is_valid(self, fs: FragSet, af1: AliFrag, af2: AliFrag) -> bool:
         t1_prev, q1_prev = af1.core_t1(), af1.core_q1()
         t0_next, q0_next = af2.core_t0(), af2.core_q0()
         if not fs.frags_in_order(t1_prev, q1_prev, t0_next, q0_next):
@@ -135,7 +151,17 @@ class FragMatrix:
     def get_connection_info(self, fs: FragSet, prev_id: FragID, next_id: FragID):
         """Optionally extend connected fragments toward each other from
         their cores to the SSE ends, keeping the max-similarity extension
-        (frag_matrix.cpp:50-137)."""
+        (frag_matrix.cpp:50-137).  Memoized — pure in frag geometry."""
+        key = (prev_id.sse_idx, prev_id.frag_idx,
+               next_id.sse_idx, next_id.frag_idx)
+        hit = self._conn_info_cache.get(key)
+        if hit is not None:
+            return hit
+        out = self._get_connection_info(fs, prev_id, next_id)
+        self._conn_info_cache[key] = out
+        return out
+
+    def _get_connection_info(self, fs: FragSet, prev_id: FragID, next_id: FragID):
         prev_frag = fs.get_frag(prev_id)
         next_frag = fs.get_frag(next_id)
         if self.ali_mode == 0:
