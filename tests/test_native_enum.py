@@ -64,21 +64,25 @@ def test_native_matches_python(dpm_and_flags, mode, delta):
         assert np.float32(a.score) == np.float32(b.score)
 
 
-def test_native_faster_than_python(dpm_and_flags):
+def test_native_matches_python_large_output(dpm_and_flags):
+    """Byte parity at a larger enumerated-set size than the parametrized
+    cases above.  (This replaces a former wall-clock native-vs-python
+    assertion: on this 51-residue fixture the native win is marginal and
+    load-sensitive — per-call marshalling is O(Q*T) while enumeration is
+    output-bound — so it flaked under parallel load.  Perf claims live in
+    bench.py / docs/SCALING.md, measured at production budgets where the
+    native engines win 50-500x.)"""
     dpm, flags, params = dpm_and_flags
     import copy
     p = copy.deepcopy(params)
-    p.delta_ratio = 0.15
-    p.number_suboptimal = 200
+    p.delta_ratio = 0.5
+    p.number_suboptimal = 5000
 
-    t0 = time.perf_counter()
     as_py = AlignmentSet()
     ConstrainedNearOptimal(p, flags).enumerate(dpm, as_py)
-    t_py = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
     out_native = native.enumerate_native("cw", dpm, p, flags)
-    t_cc = time.perf_counter() - t0
 
-    assert len(out_native) == len(as_py)
-    assert t_cc < t_py  # typically 50-500x
+    assert len(out_native) == len(as_py) and len(as_py) > 50
+    for a, b in zip(out_native, as_py):
+        assert list(a.pairs) == list(b.pairs)
+        assert np.float32(a.score) == np.float32(b.score)
