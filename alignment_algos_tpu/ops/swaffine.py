@@ -32,17 +32,36 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = -3.0e38  # plain float: jnp scalars would be captured consts in pallas
 
+# VMEM working-set budget for auto-tiling: the chip has 16 MB; leave headroom
+# for the compiler's own temporaries (CLAUDE.md: blocks*2 + scratch < 16 MB).
+VMEM_BUDGET = 14 * 2**20
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _auto_kd(qp: int, b: int, esz: int, budget: int = VMEM_BUDGET) -> int:
+    """Largest even diagonals-per-grid-step count whose double-buffered
+    similarity blocks plus the five f32 state slabs fit the VMEM budget.
+    Bigger kd amortizes the fixed per-grid-step pipeline cost; the VMEM
+    ceiling is what forces kd down as the batch (lane) axis grows."""
+    state = 5 * qp * b * 4
+    for kd in (32, 24, 16, 12, 8, 6, 4, 2):
+        if state + 2 * kd * qp * b * esz <= budget:
+            return kd
+    return 2
+
+
 def _sw_kernel(gap_ref, sd_ref, out_ref, hm1, hm2, e, f, m, *, q: int, t: int,
-               qp: int, kd: int):
+               qp: int, kd: int, uf: int = 2, qd_layout: bool = False):
     """One grid step advances ``kd`` anti-diagonals (in-kernel loop over the
     (kd, qp, B) similarity block).  Blocking amortizes the per-grid-step
     pipeline cost — with one diagonal per step the fixed overhead of ~1000
-    tiny steps dominated the VPU work 5:1."""
+    tiny steps dominated the VPU work 5:1.  ``uf`` diagonals chain through
+    temporaries per loop iteration, so the five state slabs round-trip
+    VMEM scratch once per uf diagonals instead of once per diagonal (the
+    kernel is VMEM-op bound, not FLOP bound)."""
     blk = pl.program_id(0)
     nblk = pl.num_programs(0)
     gi = gap_ref[0, 0]
@@ -73,9 +92,10 @@ def _sw_kernel(gap_ref, sd_ref, out_ref, hm1, hm2, e, f, m, *, q: int, t: int,
         is unaffected."""
         jj = d - ii
         valid = (ii < q) & (jj >= 0) & (jj < t)
-        e_new = jnp.maximum(eo - ge, h1 - gi)
-        f_new = jnp.maximum(pltpu.roll(fo, 1, axis=0) - ge,
-                            pltpu.roll(h1, 1, axis=0) - gi)
+        open_ = h1 - gi                     # shared by E and (rolled) F
+        e_new = jnp.maximum(eo - ge, open_)
+        # max-then-roll == roll-then-max (roll is a permutation); saves a roll
+        f_new = pltpu.roll(jnp.maximum(fo - ge, open_), 1, axis=0)
         f_new = jnp.where(ii == 0, NEG, f_new)  # row 0 wrap guard
         h_new = jnp.maximum(
             jnp.maximum(shift_down(h2) + s, jnp.float32(0.0)),
@@ -84,42 +104,53 @@ def _sw_kernel(gap_ref, sd_ref, out_ref, hm1, hm2, e, f, m, *, q: int, t: int,
         return h_new, e_new, f_new
 
     def body(k, _):
-        # two diagonals per iteration: intermediates stay in registers, so
-        # scratch traffic per diagonal is halved (the kernel is VMEM-op
-        # bound, not FLOP bound)
-        d0 = blk * kd + 2 * k
-        sA = sd_ref[2 * k].astype(jnp.float32)
-        sB = sd_ref[2 * k + 1].astype(jnp.float32)
+        d0 = blk * kd + uf * k
         h1 = hm1[:]
-        hA, eA, fA = one_diag(d0, sA, h1, hm2[:], e[:], f[:])
-        hB, eB, fB = one_diag(d0 + 1, sB, hA, h1, eA, fA)
-        m[:] = jnp.maximum(m[:], jnp.maximum(hA, hB))
-        hm2[:] = hA
-        hm1[:] = hB
-        e[:] = eB
-        f[:] = fB
+        h2 = hm2[:]
+        ee = e[:]
+        ff = f[:]
+        mloc = None
+        for u in range(uf):
+            if qd_layout:
+                s = sd_ref[:, uf * k + u, :].astype(jnp.float32)
+            else:
+                s = sd_ref[uf * k + u].astype(jnp.float32)
+            h_new, ee, ff = one_diag(d0 + u, s, h1, h2, ee, ff)
+            h2, h1 = h1, h_new
+            mloc = h_new if mloc is None else jnp.maximum(mloc, h_new)
+        m[:] = jnp.maximum(m[:], mloc)
+        hm2[:] = h2
+        hm1[:] = h1
+        e[:] = ee
+        f[:] = ff
         return 0
 
-    jax.lax.fori_loop(0, kd // 2, body, 0, unroll=True)
+    jax.lax.fori_loop(0, kd // uf, body, 0, unroll=True)
 
     @pl.when(blk == nblk - 1)
     def _():
         out_ref[0] = jnp.max(m[:], axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("q", "t", "kd"))
+@functools.partial(jax.jit, static_argnames=("q", "t", "kd", "uf"))
 def sw_affine_scores_from_skewed(sd: jax.Array, gap: jax.Array, *, q: int,
-                                 t: int, kd: int = 16) -> jax.Array:
+                                 t: int, kd: int | None = None,
+                                 uf: int = 2) -> jax.Array:
     """sd: (D, Qp, B) skewed similarity (D = q+t-1); gap: (1,2) [gi, ge].
     Returns (B,) local alignment scores.  kd = anti-diagonals per grid step
-    (padded diagonals past D are masked out by the validity predicate)."""
+    (None = largest that fits VMEM; padded diagonals past D are masked out
+    by the validity predicate); uf = diagonals chained through temporaries
+    per loop iteration."""
     nd, qp, b = sd.shape
-    if kd % 2:
-        raise ValueError("kd must be even (two diagonals per loop step)")
+    if kd is None:
+        kd = _auto_kd(qp, b, sd.dtype.itemsize)
+        kd = max(kd, uf)
+    if kd % uf:
+        raise ValueError("kd must be a multiple of uf")
     nblk = -(-nd // kd)
     if nblk * kd != nd:
         sd = jnp.pad(sd, ((0, nblk * kd - nd), (0, 0), (0, 0)))
-    kernel = functools.partial(_sw_kernel, q=q, t=t, qp=qp, kd=kd)
+    kernel = functools.partial(_sw_kernel, q=q, t=t, qp=qp, kd=kd, uf=uf)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, b), jnp.float32),
@@ -147,6 +178,287 @@ def sw_affine_scores_from_skewed(sd: jax.Array, gap: jax.Array, *, q: int,
     return out[0]
 
 
+@functools.partial(jax.jit, static_argnames=("q", "t", "kd", "uf"))
+def sw_affine_scores_from_skewed_qd(sd: jax.Array, gap: jax.Array, *, q: int,
+                                    t: int, kd: int | None = None,
+                                    uf: int = 2) -> jax.Array:
+    """Kernel entry for the (Qp, D, B) similarity layout produced by
+    :func:`skewed_qd_similarity_screen` — the row-shifted skew needs no
+    lane-crossing transpose, so the whole producer pass is one MXU matmul
+    plus a pad; the kernel slices diagonal u out of the (qp, kd, b) block
+    along the middle (sublane-major) axis."""
+    qp, nd, b = sd.shape
+    if kd is None:
+        kd = _auto_kd(qp, b, sd.dtype.itemsize)
+        kd = max(kd, uf)
+    if kd % uf:
+        raise ValueError("kd must be a multiple of uf")
+    nblk = -(-nd // kd)
+    if nblk * kd != nd:
+        sd = jnp.pad(sd, ((0, 0), (0, nblk * kd - nd), (0, 0)))
+    kernel = functools.partial(_sw_kernel, q=q, t=t, qp=qp, kd=kd, uf=uf,
+                               qd_layout=True)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, b), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(nblk,),
+            in_specs=[
+                pl.BlockSpec((1, 2), lambda d: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((qp, kd, b), lambda d: (0, d, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, b), lambda d: (0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((qp, b), jnp.float32),  # H at d-1
+                pltpu.VMEM((qp, b), jnp.float32),  # H at d-2
+                pltpu.VMEM((qp, b), jnp.float32),  # E
+                pltpu.VMEM((qp, b), jnp.float32),  # F
+                pltpu.VMEM((qp, b), jnp.float32),  # running max
+            ],
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * q * t * b, bytes_accessed=nd * qp * b * sd.dtype.itemsize,
+            transcendentals=0),
+    )(gap, sd)
+    return out[0]
+
+
+@functools.partial(jax.jit, static_argnames=("sim_dtype",))
+def skewed_qd_similarity_screen(q_codes: jax.Array, t_codes: jax.Array,
+                                table: jax.Array,
+                                sim_dtype=jnp.float32) -> jax.Array:
+    """Screen-shaped similarity producer: ONE query (Q,) against B templates
+    (B, T), emitted directly in the transpose-free (Qp, D, Bp) skewed
+    layout.
+
+    The contraction is a single un-batched MXU matmul (Q, A) @ (A, T*B);
+    the diagonal skew is the pad/flatten/reshape trick applied along the
+    middle axis — row i of the (Q, W-1, B) view is shifted right by i, so
+    [i, d, b] = S[i, d-i, b].  No axis ever crosses the 128-lane dimension,
+    which makes this ~4x cheaper than the batched (B, Q, T) + transpose
+    formulation."""
+    (q,) = q_codes.shape
+    b, t = t_codes.shape
+    a = table.shape[0]
+    bp = _round_up(b, 128)
+    qp = _round_up(q, 8)
+    qoh = jax.nn.one_hot(q_codes, a, dtype=jnp.float32)          # (Q, A)
+    qt = jnp.dot(qoh, table.astype(jnp.float32),
+                 preferred_element_type=jnp.float32)             # (Q, A)
+    # template one-hot directly in (A, T, B): one-hot of the transposed
+    # codes along a leading class axis (codes transpose is trivial)
+    toh = jax.nn.one_hot(t_codes.T, a, dtype=jnp.float32, axis=0)
+    s = jnp.dot(qt, toh.reshape(a, t * b),
+                preferred_element_type=jnp.float32)              # (Q, T*B)
+    s = s.reshape(q, t, b).astype(sim_dtype)
+    s = jnp.pad(s, ((0, 0), (0, 0), (0, bp - b)))                # (Q, T, Bp)
+    w = q + t
+    padded = jnp.pad(s, ((0, 0), (0, q), (0, 0)))                # (Q, W, Bp)
+    flat = padded.reshape(q * w, bp)[: q * (w - 1)]
+    sk = flat.reshape(q, w - 1, bp)                              # [i, d, b]
+    return jnp.pad(sk, ((0, qp - q), (0, 0), (0, 0)))            # (Qp, D, Bp)
+
+
+def _sw_tb_kernel(gap_ref, sd_ref, tb_ref, m_ref, dat_ref, hm1, hm2, e, f,
+                  m, dat, *, q: int, t: int, qp: int, kd: int):
+    """Traceback-emitting twin of ``_sw_kernel``: per cell one int8 code
+    (bits 0-1 H source: 0 stop / 1 diag / 2 E / 3 F; bit 2 E-extend;
+    bit 3 F-extend) plus the running max value and its diagonal index per
+    (row, lane), so the optimal local alignment can be decoded on host
+    (the device-side analogue of optimal.h:47-124's stored prev pointers,
+    at 1 byte per cell instead of 2 int32)."""
+    blk = pl.program_id(0)
+    nblk = pl.num_programs(0)
+    gi = gap_ref[0, 0]
+    ge = gap_ref[0, 1]
+
+    @pl.when(blk == 0)
+    def _():
+        hm1[:] = jnp.zeros_like(hm1)
+        hm2[:] = jnp.zeros_like(hm2)
+        e[:] = jnp.full_like(e, NEG)
+        f[:] = jnp.full_like(f, NEG)
+        m[:] = jnp.zeros_like(m)
+        dat[:] = jnp.zeros_like(dat)
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (qp, 1), 0)
+
+    def shift_down(x):
+        y = pltpu.roll(x, 1, axis=0)
+        return jnp.where(ii == 0, jnp.float32(0.0), y)
+
+    def one_diag(d, s, h1, h2, eo, fo):
+        jj = d - ii
+        valid = (ii < q) & (jj >= 0) & (jj < t)
+        e_open = h1 - gi
+        e_ext = eo - ge
+        e_new = jnp.maximum(e_ext, e_open)
+        f_open = shift_down(h1) - gi
+        f_ext = pltpu.roll(fo, 1, axis=0) - ge
+        f_ext = jnp.where(ii == 0, NEG, f_ext)
+        f_open = jnp.where(ii == 0, NEG, f_open)
+        f_new = jnp.maximum(f_ext, f_open)
+        diag = shift_down(h2) + s
+        h_new = jnp.maximum(jnp.maximum(diag, jnp.float32(0.0)),
+                            jnp.maximum(e_new, f_new))
+        h_new = jnp.where(valid, h_new, jnp.float32(0.0))
+        # per-cell code; ties resolve diag > E > F, open > extend
+        code = jnp.where(
+            h_new == 0.0, 0,
+            jnp.where(h_new == diag, 1, jnp.where(h_new == e_new, 2, 3)))
+        code = code | jnp.where(e_ext > e_open, 4, 0)
+        code = code | jnp.where(f_ext > f_open, 8, 0)
+        code = jnp.where(valid, code, 0)
+        return h_new, e_new, f_new, code.astype(jnp.int8)
+
+    def track(h_new, d):
+        upd = h_new > m[:]
+        dat[:] = jnp.where(upd, jnp.int32(d), dat[:])
+        m[:] = jnp.where(upd, h_new, m[:])
+
+    def body(k, _):
+        d0 = blk * kd + 2 * k
+        sA = sd_ref[2 * k].astype(jnp.float32)
+        sB = sd_ref[2 * k + 1].astype(jnp.float32)
+        h1 = hm1[:]
+        hA, eA, fA, cA = one_diag(d0, sA, h1, hm2[:], e[:], f[:])
+        track(hA, d0)
+        hB, eB, fB, cB = one_diag(d0 + 1, sB, hA, h1, eA, fA)
+        track(hB, d0 + 1)
+        tb_ref[2 * k] = cA
+        tb_ref[2 * k + 1] = cB
+        hm2[:] = hA
+        hm1[:] = hB
+        e[:] = eB
+        f[:] = fB
+        return 0
+
+    jax.lax.fori_loop(0, kd // 2, body, 0, unroll=True)
+
+    @pl.when(blk == nblk - 1)
+    def _():
+        m_ref[:] = m[:]
+        dat_ref[:] = dat[:]
+
+
+@functools.partial(jax.jit, static_argnames=("q", "t", "kd"))
+def sw_affine_tb_from_skewed(sd: jax.Array, gap: jax.Array, *, q: int,
+                             t: int, kd: int | None = None):
+    """Traceback variant: returns (tb (Dpad, Qp, B) int8 codes,
+    m (Qp, B) running max, dat (Qp, B) int32 diagonal-of-max).  Decode with
+    :func:`decode_local_tracebacks`."""
+    nd, qp, b = sd.shape
+    if kd is None:
+        # six state slabs + double-buffered sim-in and tb-out blocks
+        state = 6 * qp * b * 4
+        kd = 2
+        for cand in (32, 24, 16, 12, 8, 6, 4, 2):
+            if state + 2 * cand * qp * b * (sd.dtype.itemsize + 1) \
+                    <= VMEM_BUDGET:
+                kd = cand
+                break
+    if kd % 2:
+        raise ValueError("kd must be even")
+    nblk = -(-nd // kd)
+    if nblk * kd != nd:
+        sd = jnp.pad(sd, ((0, nblk * kd - nd), (0, 0), (0, 0)))
+    kernel = functools.partial(_sw_tb_kernel, q=q, t=t, qp=qp, kd=kd)
+    tb, m, dat = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nblk * kd, qp, b), jnp.int8),
+            jax.ShapeDtypeStruct((qp, b), jnp.float32),
+            jax.ShapeDtypeStruct((qp, b), jnp.int32),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(nblk,),
+            in_specs=[
+                pl.BlockSpec((1, 2), lambda d: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((kd, qp, b), lambda d: (d, 0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((kd, qp, b), lambda d: (d, 0, 0)),
+                pl.BlockSpec((qp, b), lambda d: (0, 0)),
+                pl.BlockSpec((qp, b), lambda d: (0, 0)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((qp, b), jnp.float32),  # H at d-1
+                pltpu.VMEM((qp, b), jnp.float32),  # H at d-2
+                pltpu.VMEM((qp, b), jnp.float32),  # E
+                pltpu.VMEM((qp, b), jnp.float32),  # F
+                pltpu.VMEM((qp, b), jnp.float32),  # running max
+                pltpu.VMEM((qp, b), jnp.int32),    # diagonal of max
+            ],
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=16 * q * t * b,
+            bytes_accessed=nd * qp * b * (sd.dtype.itemsize + 1),
+            transcendentals=0),
+    )(gap, sd)
+    return tb, m, dat
+
+
+def decode_local_tracebacks(tb: np.ndarray, m: np.ndarray, dat: np.ndarray,
+                            q: int, t: int, nb: int | None = None):
+    """Vectorized host decode of the kernel's traceback codes.
+
+    Returns (scores (B,), paths) where paths[b] is the list of matched
+    (query_idx, template_idx) 0-based pairs, N-to-C order (empty when the
+    best local score is 0)."""
+    tb = np.asarray(tb)
+    m = np.asarray(m)
+    dat = np.asarray(dat)
+    b = m.shape[1] if nb is None else nb
+    scores = m[:q, :b].max(axis=0)
+    bi = m[:q, :b].argmax(axis=0)
+    bd = dat[bi, np.arange(b)]
+
+    lanes = np.arange(b)
+    i = bi.astype(np.int64)
+    j = (bd - bi).astype(np.int64)
+    state = np.zeros(b, np.int8)       # 0 = H, 1 = E, 2 = F
+    alive = scores > 0.0
+    rev_pairs: list[list[tuple[int, int]]] = [[] for _ in range(b)]
+    for _ in range(q + t + 2):
+        if not alive.any():
+            break
+        inb = alive & (i >= 0) & (j >= 0)
+        alive = inb
+        if not alive.any():
+            break
+        c = np.zeros(b, np.int8)
+        al = np.where(alive)[0]
+        c[al] = tb[i[al] + j[al], i[al], lanes[al]]
+        in_h = alive & (state == 0)
+        hb = c & 3
+        stop = in_h & (hb == 0)
+        alive = alive & ~stop
+        match = alive & (state == 0) & (hb == 1)
+        for lane in np.where(match)[0]:
+            rev_pairs[lane].append((int(i[lane]), int(j[lane])))
+        to_e = alive & (state == 0) & (hb == 2)
+        to_f = alive & (state == 0) & (hb == 3)
+        state = np.where(to_e, 1, np.where(to_f, 2, state)).astype(np.int8)
+        i = np.where(match, i - 1, i)
+        j = np.where(match, j - 1, j)
+        in_e = alive & (state == 1) & ~to_e & ~match
+        in_e = in_e | to_e
+        in_f = (alive & (state == 2) & ~to_f & ~match) | to_f
+        # E consumes one template column; leaves E when the open bit won
+        e_ext = (c & 4) != 0
+        f_ext = (c & 8) != 0
+        j = np.where(in_e, j - 1, j)
+        state = np.where(in_e & ~e_ext, 0, state).astype(np.int8)
+        i = np.where(in_f, i - 1, i)
+        state = np.where(in_f & ~f_ext, 0, state).astype(np.int8)
+    paths = [list(reversed(p)) for p in rev_pairs]
+    return scores, paths
+
+
 def skew_similarity(s: jax.Array) -> jax.Array:
     """(B, Q, T) -> (D, Qp, B) where slab d holds S[b, i, d-i].
 
@@ -169,7 +481,9 @@ def skew_similarity(s: jax.Array) -> jax.Array:
 def similarity_from_codes(q_codes: jax.Array, t_codes: jax.Array,
                           table: jax.Array, sim_dtype=jnp.float32) -> jax.Array:
     """(B, Q) x (B, T) int codes + (A, A) table -> (B, Q, T) similarity via
-    one-hot matmuls on the MXU."""
+    one-hot matmuls on the MXU.  sim_dtype=int8 is exact for integer
+    substitution tables (BLOSUM fits [-128, 127]) and halves the HBM
+    traffic of the skew + kernel passes."""
     a = table.shape[0]
     qoh = jax.nn.one_hot(q_codes, a, dtype=jnp.float32)      # (B, Q, A)
     toh = jax.nn.one_hot(t_codes, a, dtype=jnp.float32)      # (B, T, A)
@@ -180,14 +494,54 @@ def similarity_from_codes(q_codes: jax.Array, t_codes: jax.Array,
     return s.astype(sim_dtype)
 
 
-def sw_affine_batch(q_codes, t_codes, table, gi: float, ge: float,
-                    sim_dtype=jnp.float32):
-    """End-to-end batched SW: codes -> similarity -> skew -> kernel."""
+@functools.partial(jax.jit, static_argnames=("sim_dtype",))
+def skewed_similarity_from_codes(q_codes: jax.Array, t_codes: jax.Array,
+                                 table: jax.Array,
+                                 sim_dtype=jnp.float32) -> jax.Array:
+    """Fused codes -> skewed similarity with the batch axis kept LAST
+    throughout: (B, Q) x (B, T) -> (D, Qp, Bp).
+
+    The einsum emits (Q, T, B) directly, so the subsequent diagonal-skew
+    transpose only permutes the two leading (sublane-major) axes while the
+    128-lane batch axis stays in place — no lane-crossing transpose, which
+    is the expensive relayout in the (B, Q, T)-first formulation."""
     b, q = q_codes.shape
     t = t_codes.shape[1]
-    s = similarity_from_codes(jnp.asarray(q_codes), jnp.asarray(t_codes),
-                              jnp.asarray(table), sim_dtype=sim_dtype)
-    sd = skew_similarity(s)
+    a = table.shape[0]
+    bp = _round_up(b, 128)
+    qp = _round_up(q, 8)
+    qoh = jax.nn.one_hot(q_codes, a, dtype=jnp.float32)      # (B, Q, A)
+    toh = jax.nn.one_hot(t_codes, a, dtype=jnp.float32)      # (B, T, A)
+    qt = jnp.einsum("bqa,ac->bqc", qoh, table.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    s = jnp.einsum("bqc,btc->qtb", qt, toh,
+                   preferred_element_type=jnp.float32).astype(sim_dtype)
+    s = jnp.pad(s, ((0, 0), (0, 0), (0, bp - b)))            # (Q, T, Bp)
+    # diagonal skew via the pad/flatten/reshape trick, batch axis untouched:
+    # row i of the (Q, W-1) view is shifted right by i, so [i, d] = S[i, d-i]
+    w = q + t
+    padded = jnp.pad(s, ((0, 0), (0, q), (0, 0)))            # (Q, W, Bp)
+    flat = padded.reshape(q * w, bp)[: q * (w - 1)]
+    sk = flat.reshape(q, w - 1, bp)                          # [i, d, b]
+    sk = jnp.pad(sk, ((0, qp - q), (0, 0), (0, 0)))
+    return jnp.transpose(sk, (1, 0, 2))                      # (D, Qp, Bp)
+
+
+def sw_affine_batch(q_codes, t_codes, table, gi: float, ge: float,
+                    sim_dtype=jnp.float32, fused_skew: bool = False):
+    """End-to-end batched SW: codes -> similarity -> skew -> kernel.
+    fused_skew=True routes through the batch-last skew (no lane-crossing
+    transpose), the production configuration for large batches."""
+    b, q = q_codes.shape
+    t = t_codes.shape[1]
+    if fused_skew:
+        sd = skewed_similarity_from_codes(
+            jnp.asarray(q_codes), jnp.asarray(t_codes), jnp.asarray(table),
+            sim_dtype=sim_dtype)
+    else:
+        s = similarity_from_codes(jnp.asarray(q_codes), jnp.asarray(t_codes),
+                                  jnp.asarray(table), sim_dtype=sim_dtype)
+        sd = skew_similarity(s)
     gap = jnp.array([[gi, ge]], dtype=jnp.float32)
     return sw_affine_scores_from_skewed(sd, gap, q=q, t=t)[:b]
 

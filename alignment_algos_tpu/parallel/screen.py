@@ -33,6 +33,17 @@ def default_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     return Mesh(np.array(devs), axis_names=(axis,))
 
 
+def _put(mesh: Mesh, arr, spec) -> jax.Array:
+    """Place a host-replicated numpy array onto the mesh with the given
+    PartitionSpec.  Uses make_array_from_callback, which works identically
+    in single-process and multi-process (jax.distributed) runs: every
+    process passes the same full array and contributes only the shards its
+    local devices own."""
+    sh = NamedSharding(mesh, spec)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])
+
+
 def _pad_library(t_codes: np.ndarray, shards: int):
     """Pad the library to a multiple of the shard count with sentinel rows."""
     n = t_codes.shape[0]
@@ -58,6 +69,10 @@ def _screen_step(q_codes, t_codes, table, gap, valid_mask, *, q: int, t: int,
     # deterministic top-k: score desc, ties by library index asc.
     # top_k is stable on equal keys (returns lower indices first).
     topk_scores, topk_idx = jax.lax.top_k(scores, k)
+    # replicate the merged result on every device (and every process in a
+    # multi-host run): this is the all-gather over the library shards
+    topk_scores = jax.lax.with_sharding_constraint(topk_scores, P())
+    topk_idx = jax.lax.with_sharding_constraint(topk_idx, P())
     return topk_scores, topk_idx
 
 
@@ -81,15 +96,11 @@ def screen_library(q_codes: np.ndarray, t_codes: np.ndarray,
     t = int(t_codes.shape[1])
     k = min(k, n_real)
 
-    lib_sharding = NamedSharding(mesh, P(axis, None))
-    repl = NamedSharding(mesh, P())
-    t_dev = jax.device_put(jnp.asarray(t_codes), lib_sharding)
-    q_dev = jax.device_put(jnp.asarray(q_codes, dtype=jnp.int32), repl)
-    table_dev = jax.device_put(jnp.asarray(table, dtype=jnp.float32), repl)
-    gap = jax.device_put(jnp.array([[gi, ge]], dtype=jnp.float32), repl)
-    valid = jax.device_put(
-        jnp.arange(t_codes.shape[0]) < n_real,
-        NamedSharding(mesh, P(axis)))
+    t_dev = _put(mesh, t_codes, P(axis, None))
+    q_dev = _put(mesh, np.asarray(q_codes, np.int32), P())
+    table_dev = _put(mesh, np.asarray(table, np.float32), P())
+    gap = _put(mesh, np.array([[gi, ge]], np.float32), P())
+    valid = _put(mesh, np.arange(t_codes.shape[0]) < n_real, P(axis))
 
     with mesh:
         scores, idx = _screen_step(q_dev, t_dev, table_dev, gap, valid,
@@ -161,17 +172,27 @@ def screen_grid(q_codes: np.ndarray, t_codes: np.ndarray, table: np.ndarray,
             np.asarray(ti)[:nq])
 
 
-def screen_profiles(query, templates, evaluator_factory, k: int = 10):
+def screen_profiles(query, templates, evaluator_factory, k: int = 10,
+                    engine: str | None = None):
     """Exact-scoring profile screen: one HMAP query against a list of
-    template profiles, using the batched general-gap engine (reference
-    scoring, traceback-capable).  Templates are bucketed by length (the
-    engine requires same-shape cost models per batch).
+    template profiles, with reference scoring (bit-equal to per-pair
+    DPMatrix builds).  Templates are bucketed by length (the engines
+    require same-shape cost models per batch).
+
+    engine: "pallas" = the exact general-gap Pallas kernel (ops/dp_pallas,
+    the TPU fast path; scores only), "xla" = the lax.scan engine
+    (ops/dp_engine, traceback-capable), None = pallas on TPU (falling back
+    per-bucket when a pair exceeds the kernel's VMEM capacity), xla
+    elsewhere.
 
     evaluator_factory(query, templ) -> evaluator with build_costs().
     Returns (scores, order) — optimal global scores and the top-k template
     indices (score desc, index asc).
     """
-    from ..ops import dp_engine
+    from ..ops import dp_engine, dp_pallas
+
+    if engine is None:
+        engine = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
 
     buckets: dict[tuple[int, int], list[int]] = {}
     costs = [None] * len(templates)
@@ -184,9 +205,14 @@ def screen_profiles(query, templates, evaluator_factory, k: int = 10):
     scores = np.zeros(len(templates), dtype=np.float32)
     for shape, idxs in buckets.items():
         batch = [costs[i] for i in idxs]
-        results = dp_engine.build_forward_jax_batched(batch)
-        for i, res in zip(idxs, results):
-            scores[i] = res.H[-1, -1]
+        if engine == "pallas" and dp_pallas.supported(batch[0]):
+            bucket_scores = dp_pallas.forward_scores_batch(batch)
+            for i, sc in zip(idxs, bucket_scores):
+                scores[i] = sc
+        else:
+            results = dp_engine.build_forward_jax_batched(batch)
+            for i, res in zip(idxs, results):
+                scores[i] = res.H[-1, -1]
     order = np.lexsort((np.arange(len(scores)), -scores))[:k]
     return scores, order
 

@@ -86,3 +86,138 @@ def test_sw_matches_general_dp_local():
 
     qm, tm, local_max = Optimal._find_max(FakeDPM())
     np.testing.assert_allclose(local_max, ref, rtol=1e-6)
+
+
+def test_fused_skew_matches_two_pass():
+    """Batch-last fused skew == similarity_from_codes + skew_similarity."""
+    rng = np.random.default_rng(7)
+    b, q, t = 5, 9, 12
+    qc = jnp.asarray(rng.integers(0, 20, (b, q)), jnp.int32)
+    tc = jnp.asarray(rng.integers(0, 20, (b, t)), jnp.int32)
+    table = jnp.asarray(rng.integers(-4, 12, (20, 20)).astype(np.float32))
+    ref = np.asarray(swaffine.skew_similarity(
+        swaffine.similarity_from_codes(qc, tc, table)))
+    fused = np.asarray(swaffine.skewed_similarity_from_codes(qc, tc, table))
+    np.testing.assert_array_equal(fused, ref)
+
+
+def test_int8_similarity_exact_for_integer_tables():
+    rng = np.random.default_rng(8)
+    b, q, t = 4, 16, 16
+    qc = jnp.asarray(rng.integers(0, 20, (b, q)), jnp.int32)
+    tc = jnp.asarray(rng.integers(0, 20, (b, t)), jnp.int32)
+    table = jnp.asarray(rng.integers(-8, 12, (20, 20)).astype(np.float32))
+    gi, ge = 11.0, 1.0
+    f32 = np.asarray(swaffine.sw_affine_batch_xla(qc, tc, table, gi, ge))
+    sd8 = swaffine.skewed_similarity_from_codes(qc, tc, table,
+                                                sim_dtype=jnp.int8)
+    assert sd8.dtype == jnp.int8
+    gap = jnp.array([[gi, ge]], dtype=jnp.float32)
+    i8 = np.asarray(swaffine.sw_affine_scores_xla(sd8, gap, q=q, t=t))[:b]
+    np.testing.assert_array_equal(i8, f32)
+    with _interp():
+        k8 = np.asarray(swaffine.sw_affine_scores_from_skewed(
+            sd8, gap, q=q, t=t))[:b]
+    np.testing.assert_array_equal(k8, f32)
+
+
+def test_auto_kd_fits_vmem():
+    # large-batch production shapes: state + double-buffered blocks <= budget
+    for qp, b, esz in [(512, 1024, 1), (512, 512, 2), (512, 128, 4),
+                       (8, 128, 4)]:
+        kd = swaffine._auto_kd(qp, b, esz)
+        assert kd % 2 == 0 and kd >= 2
+        assert 5 * qp * b * 4 + 2 * kd * qp * b * esz <= swaffine.VMEM_BUDGET
+
+
+def _path_score(s, pairs, gi, ge):
+    """Recompute a local alignment's score from its matched pairs (between
+    consecutive matches at most one template-gap run and one query-gap run
+    exist in a Gotoh path; costs are affine in each run's length)."""
+    total = 0.0
+    prev = None
+    for (i, j) in pairs:
+        total += float(s[i, j])
+        if prev is not None:
+            di, dj = i - prev[0], j - prev[1]
+            assert di >= 1 and dj >= 1
+            if dj > 1:
+                total -= gi + ge * (dj - 2)
+            if di > 1:
+                total -= gi + ge * (di - 2)
+        prev = (i, j)
+    return np.float32(total)
+
+
+@pytest.mark.parametrize("q,t,seed", [(8, 8, 0), (13, 10, 1), (24, 17, 2)])
+def test_sw_traceback_kernel_decodes_optimal_paths(q, t, seed):
+    rng = np.random.default_rng(seed)
+    b = 4
+    s = rng.integers(-4, 12, size=(b, q, t)).astype(np.float32)
+    gi, ge = 11.0, 1.0
+    ref = swaffine.sw_affine_reference(s, gi, ge)
+
+    sd = swaffine.skew_similarity(jnp.asarray(s))
+    gap = jnp.array([[gi, ge]], dtype=jnp.float32)
+    with _interp():
+        tb, m, dat = swaffine.sw_affine_tb_from_skewed(sd, gap, q=q, t=t)
+    scores, paths = swaffine.decode_local_tracebacks(
+        np.asarray(tb), np.asarray(m), np.asarray(dat), q, t, nb=b)
+    np.testing.assert_allclose(scores, ref, rtol=0, atol=0)
+    for bi in range(b):
+        if ref[bi] == 0.0:
+            assert paths[bi] == []
+            continue
+        assert len(paths[bi]) >= 1
+        # strictly increasing, in bounds
+        pi, pj = zip(*paths[bi])
+        assert all(x2 > x1 for x1, x2 in zip(pi, pi[1:]))
+        assert all(x2 > x1 for x1, x2 in zip(pj, pj[1:]))
+        assert min(pi) >= 0 and max(pi) < q and min(pj) >= 0 and max(pj) < t
+        np.testing.assert_allclose(_path_score(s[bi], paths[bi], gi, ge),
+                                   ref[bi], rtol=0, atol=0)
+
+
+def test_sw_traceback_zero_score_lane():
+    # all-negative similarity: best local score is 0 (empty alignment)
+    q = t = 6
+    s = np.full((1, q, t), -5.0, np.float32)
+    sd = swaffine.skew_similarity(jnp.asarray(s))
+    gap = jnp.array([[4.0, 0.5]], dtype=jnp.float32)
+    with _interp():
+        tb, m, dat = swaffine.sw_affine_tb_from_skewed(sd, gap, q=q, t=t)
+    scores, paths = swaffine.decode_local_tracebacks(
+        np.asarray(tb), np.asarray(m), np.asarray(dat), q, t, nb=1)
+    assert scores[0] == 0.0 and paths[0] == []
+
+
+@pytest.mark.parametrize("dt", ["float32", "int8"])
+def test_qd_layout_screen_path_matches(dt):
+    """Transpose-free (Qp, D, B) screen producer + qd kernel == the
+    (D, Qp, B) path, bit-exact."""
+    import jax.numpy as jnp2
+    rng = np.random.default_rng(12)
+    q, t, b = 11, 14, 6
+    qc = jnp.asarray(rng.integers(0, 20, (q,)), jnp.int32)
+    tc = jnp.asarray(rng.integers(0, 20, (b, t)), jnp.int32)
+    table = jnp.asarray(rng.integers(-4, 12, (20, 20)).astype(np.float32))
+    gi, ge = 11.0, 1.0
+    gap = jnp.array([[gi, ge]], dtype=jnp.float32)
+    sim_dtype = dict(float32=jnp2.float32, int8=jnp2.int8)[dt]
+
+    qb = jnp.broadcast_to(qc[None, :], (b, q))
+    ref = np.asarray(swaffine.sw_affine_batch_xla(qb, tc, table, gi, ge))
+
+    sd_qd = swaffine.skewed_qd_similarity_screen(qc, tc, table,
+                                                 sim_dtype=sim_dtype)
+    assert sd_qd.shape == (16, q + t - 1, 128)
+    with _interp():
+        got = np.asarray(swaffine.sw_affine_scores_from_skewed_qd(
+            sd_qd, gap, q=q, t=t))[:b]
+    np.testing.assert_array_equal(got, ref)
+    # layout equivalence: qd skew is the transpose of the dqb skew
+    sd_ref = np.asarray(swaffine.skewed_similarity_from_codes(
+        qb, tc, table, sim_dtype=sim_dtype))
+    np.testing.assert_array_equal(
+        np.transpose(np.asarray(sd_qd), (1, 0, 2))[:, :8, :],
+        sd_ref[:, :8, :])
