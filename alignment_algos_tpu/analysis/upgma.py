@@ -32,8 +32,17 @@ class UPGMANode:
         return self.left is None and self.right is None
 
     def leaves(self) -> list["UPGMANode"]:
+        """Reference emission order (UPGMA_Tree.cpp:95-140): a leaf child is
+        emitted FIRST even when it is the right child."""
         if self.is_leaf():
             return [self]
+        l_leaf, r_leaf = self.left.is_leaf(), self.right.is_leaf()
+        if l_leaf and r_leaf:
+            return [self.left, self.right]
+        if l_leaf:
+            return [self.left] + self.right.leaves()
+        if r_leaf:
+            return [self.right] + self.left.leaves()
         return self.left.leaves() + self.right.leaves()
 
 
@@ -60,49 +69,70 @@ class UPGMAClusterer:
         self.D = np.tril(d) + np.tril(d, -1).T  # symmetrize from lower tri
         self.root: UPGMANode | None = None
         self.clusters: list[list[UPGMANode]] = []
+        # min-distance of each merge in order (matches the reference
+        # cluster() narration, UPGMA_Clusterer.cpp:75-110)
+        self.merge_dists: list[float] = []
 
     def cluster(self) -> UPGMANode:
+        """Replicates the reference's slot mechanics exactly
+        (UPGMA_Clusterer.cpp:75-324): find_closest_pair scans the CURRENT
+        permuted matrix (i=1.., j<i, strict <, so the first minimal pair in
+        that order wins ties); combine_nodes SWAPS the pair into slots 0/1
+        (displacing those slots' previous occupants to the pair's old
+        slots), puts the merged cluster at slot 0, and shifts the rest up.
+        The slot permutation is tie-order-load-bearing."""
         n = self.n
         D = self.D.copy()
-        w = np.ones(n, dtype=np.int64)
-        nodes = [UPGMANode(i) for i in range(n)]
-        active = list(range(n))
+        # per-node-id state; `order` maps current slot -> node id
+        w = {i: 1 for i in range(n)}
+        nodes = {i: UPGMANode(i) for i in range(n)}
+        dist = {}  # pairwise distances keyed by frozenset of node ids
+
+        def get(a, b):
+            return dist.get((a, b), dist.get((b, a)))
+
+        for i in range(n):
+            for j in range(i):
+                dist[(i, j)] = np.float32(D[i, j])
+        order = list(range(n))
         next_index = n
 
-        while len(active) > 2:
-            # find closest active pair, first in (i asc, j<i asc) order
-            best = (np.float32(np.inf), -1, -1)
-            for ai in range(1, len(active)):
-                for aj in range(ai):
-                    i, j = active[ai], active[aj]
-                    dij = D[max(i, j), min(i, j)] if False else D[i, j]
+        while len(order) > 2:
+            # find_closest_pair over current slot order (strict <)
+            best = (np.float32(999999.0), -1, -1)
+            for si in range(1, len(order)):
+                for sj in range(si):
+                    dij = get(order[si], order[sj])
                     if dij < best[0]:
-                        best = (dij, ai, aj)
-            _, ai, aj = best
-            # the reference moves (smaller index first) to the front; merge
-            a_small, a_big = min(ai, aj), max(ai, aj)
-            i, j = active[a_small], active[a_big]
-            md = float(D[i, j])
-            parent = _make_parent(nodes[i], nodes[j], md, next_index)
-            nodes.append(parent)
-
-            # weighted-average distance update into slot i
-            others = [a for a in active if a != i and a != j]
-            if others:
-                newd = ((w[i] * D[i, others] + w[j] * D[j, others])
-                        / np.float32(w[i] + w[j])).astype(np.float32)
-                D[i, others] = newd
-                D[others, i] = newd
-            w_new = w[i] + w[j]
-            w = np.append(w, 0)
-            w[i] = w_new
-            # reuse slot i for the parent
-            nodes[i] = parent
-            active.remove(j)
+                        best = (dij, si, sj)
+            _, s_hi, s_lo = best
+            n1, n2 = min(s_hi, s_lo), max(s_hi, s_lo)
+            # swap pair into slots 0 and 1 (reference swap_cols semantics)
+            if n1 != 0:
+                order[n1], order[0] = order[0], order[n1]
+            if n2 != 1:
+                order[n2], order[1] = order[1], order[n2]
+            lid, rid = order[0], order[1]
+            md = float(get(lid, rid))
+            self.merge_dists.append(md)
+            parent = _make_parent(nodes[lid], nodes[rid], md, next_index)
+            nodes[next_index] = parent
+            # weighted-average distances to the new cluster, float32 op
+            # order: (w0*d(i,0) + w1*d(i,1)) / (w0+w1)
+            w0, w1 = np.float32(w[lid]), np.float32(w[rid])
+            for sid in order[2:]:
+                nd = np.float32(
+                    (w0 * get(sid, lid) + w1 * get(sid, rid))
+                    / np.float32(w[lid] + w[rid]))
+                dist[(next_index, sid)] = nd
+            w[next_index] = w[lid] + w[rid]
+            order = [next_index] + order[2:]
             next_index += 1
 
-        i, j = active[0], active[1]
-        self.root = _make_parent(nodes[i], nodes[j], float(D[i, j]), next_index)
+        lid, rid = order[0], order[1]
+        self.merge_dists.append(float(get(lid, rid)))
+        self.root = _make_parent(nodes[lid], nodes[rid], float(get(lid, rid)),
+                                 next_index)
         return self.root
 
     def find_clusters_under_threshold(self, thresh: float) -> list[list[int]]:

@@ -271,7 +271,8 @@ class SMAPSequence : public HMAPSequence {
         objs2.append(obj)
     oracle_mains = [(o, os.path.join(tools_dir, o + ".cpp"))
                     for o in ("oracle_gn2", "oracle_s4", "oracle_gn2cli",
-                              "oracle_nalign2", "oracle_gnoali")]
+                              "oracle_nalign2", "oracle_gnoali",
+                              "oracle_upgma")]
     oracle_mains.append(("get_shifts", os.path.join(src2, "get_shifts.cpp")))
     for oracle, main_cpp in oracle_mains:
         exe = os.path.join(OUT, oracle)
