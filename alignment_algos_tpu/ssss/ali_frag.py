@@ -73,3 +73,45 @@ class AliFrag:
     def get_next(self, i): return self.next_frags[i]
     def get_last_next(self): return self.next_frags[-1]
     def clear_next(self): self.next_frags = []
+
+    # ---- tracking-mode rendering (ali_frag.cpp:94-160; byte-parity with
+    # ---- the reference's cerr/ofstream output) -------------------------
+    def render_info(self) -> str:
+        g = _g
+        return (f"Frag: sse id: {self.sse_id}, frag_id: {self.frag_id}\n"
+                f"      core: [{self.core_t0()},{self.core_q0()}] - "
+                f"[{self.core_t1()},{self.core_q1()}]\n"
+                f"       sse: [{self.sse_t0()},{self.sse_q0()}] - "
+                f"[{self.sse_t1()},{self.sse_q1()}]\n"
+                f"        qt: {self.qt_shift}\n"
+                f" -- score:   {g(self.score)}\n"
+                f" -- z-score: {g(self.z_score)}\n")
+
+    def render_block(self, query_seq: str, templ_seq: str) -> str:
+        t_row = templ_seq[self.t_core_beg : self.t_core_end + 1]
+        q_row = "".join(query_seq[t + self.qt_shift]
+                        for t in range(self.t_core_beg, self.t_core_end + 1))
+        return self.render_info() + f"T: {t_row}\nQ: {q_row}\n"
+
+    def render_block_window(self, query_seq: str, templ_seq: str,
+                            t_beg: int, t_end: int) -> str:
+        lines = [self.render_info()]
+        lines.append(templ_seq[self.t_sse_beg : self.t_sse_end + 1] + "\n")
+        lines.append("".join(
+            "|" if t_beg <= t <= t_end else " "
+            for t in range(self.t_sse_beg, self.t_sse_end + 1)) + "\n")
+        lines.append("".join(
+            query_seq[t + self.qt_shift]
+            for t in range(self.t_sse_beg, self.t_sse_end + 1)) + "\n")
+        return "".join(lines)
+
+    def render_one_line(self, templ_seq: str, query_seq: str) -> str:
+        g = _g
+        return (f"{self.qt_shift}, {g(self.score)}, {g(self.z_score)}, "
+                f"{templ_seq[self.t_core_beg : self.t_core_beg + 3]}/"
+                f"{query_seq[self.q(self.t_core_beg) : self.q(self.t_core_beg) + 3]}")
+
+
+def _g(v) -> str:
+    """C++ default ostream float formatting (6 significant digits)."""
+    return f"{float(v):g}"

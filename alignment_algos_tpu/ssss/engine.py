@@ -242,6 +242,8 @@ class SSSS:
         from .native_search import find_top_skeletons_native
         if not find_top_skeletons_native(builder):
             builder.find_top_skeletons()
+        if self.tracking_mode:
+            builder.send_culled_alis_to_files()  # ssss.h:414
         if self.cluster_mode:
             builder.cluster_alignments()
         self.Returned_Skel_Alis = builder.get_top_skels()
@@ -252,6 +254,10 @@ class SSSS:
         optimal alignment (reference defect, replicated)."""
         self.fill_frag_matrix()
         self.Main_Frag_Selector.find_N_terminal_connections(self.All_Frags)
+        # fragment-quality-vs-native tables (no-ops outside tracking mode;
+        # ssss.h:354-355)
+        self.Main_Frag_Selector.report_frag_quality(self.All_Frags)
+        self.Main_Frag_Selector.report_full_sse_frag_set_info(self.All_Frags)
         print("Final number of alis to search: "
               f"{self.Main_Frag_Selector.get_number_of_alis_to_search(self.All_Frags)}",
               file=sys.stderr)

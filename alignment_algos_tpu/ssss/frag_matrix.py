@@ -257,3 +257,79 @@ class FragMatrix:
             return False, 0.0
         print(f"New frag z-score: {z:g}", file=sys.stderr)
         return True, z
+
+    # ---- tracking-mode reporting (frag_matrix.cpp:778-869) ---------------
+    def report_frag_quality(self, fs: FragSet, out=None) -> None:
+        """Per-SSE fragment quality vs the native alignment (stderr
+        tables; no-op outside tracking mode, like the reference)."""
+        import sys
+        if self.Compare_to_Native is None:
+            return
+        out = out or sys.stderr
+        for i in range(1, self.num_sses + 1):
+            out.write("------SSE INFO----------\n")
+            col = fs.get_col(i)
+            out.write(col.print_sse_info(self.templ_seq))
+            t_beg, t_end = col.t0, col.t1
+            if self.sse_is_native(t_beg, t_end):
+                out.write("NATIVE\n")
+                local = self.Compare_to_Native.get_local_qt_shift(t_beg,
+                                                                  t_end)
+                out.write(f"Native shift: {_g(local)}\n")
+                out.write(f"# Active frags:{col.get_num_active_frags()}\n")
+                out.write("Top 5 (or less) closest frags:\n")
+                out.write("QT-shift (distance to native): \n")
+                for f in col.find_shift_neighbors(local, 5):
+                    d = np.float32(abs(np.float32(f.qt())
+                                       - np.float32(local)))
+                    out.write(f"{f.qt()}({_g(d)})\t")
+                out.write("\n")
+            else:
+                out.write("Not native.\n")
+            out.write("\n")
+            out.write("------SSE INFO----------\n")
+
+    def report_full_sse_frag_set_info(self, fs: FragSet, out=None) -> None:
+        """frag_matrix.cpp:823-869."""
+        import sys
+        if self.Compare_to_Native is None:
+            return
+        out = out or sys.stderr
+        for i in range(1, self.num_sses + 1):
+            out.write("------SSE FRAG SET----------\n")
+            col = fs.get_col(i)
+            out.write(col.print_sse_info(self.templ_seq))
+            t_beg, t_end = col.t0, col.t1
+            if self.sse_is_native(t_beg, t_end):
+                out.write("NATIVE\n")
+                local = self.Compare_to_Native.get_local_qt_shift(t_beg,
+                                                                  t_end)
+                for f in col.get_all_frags_qt_sorted():
+                    out.write(f.render_one_line(self.templ_seq,
+                                                self.query_seq))
+                    out.write(
+                        f", {_g(np.float32(f.qt()) - np.float32(local))}")
+                    status = col.get_frag_status(f)
+                    if status == 1:
+                        out.write(" -- ACTIVE ")
+                    if status == -1:
+                        out.write(" -- REDUNDANT")
+                    if status == -2:
+                        raise RuntimeError(
+                            "Frag status undefined.  Frag not found in "
+                            "sse_frag_set.")
+                    out.write("\n")
+            out.write("------SSE FRAG SET----------\n")
+
+    def sse_is_native(self, t_beg: int, t_end: int) -> bool:
+        """frag_matrix.cpp sse_is_native: the native alignment covers the
+        SSE span with at least the minimum window length."""
+        if self.Compare_to_Native is None:
+            return False
+        sse_ali = self.Compare_to_Native.get_local_native_ali(t_beg, t_end)
+        return len(sse_ali) >= find_min_ali_len(t_end - t_beg + 1)
+
+
+def _g(v) -> str:
+    """C++ default ostream float formatting (6 significant digits)."""
+    return f"{float(v):g}"

@@ -131,9 +131,43 @@ class SSEFragSet:
             f"{gap_beg} to {gap_end}")
 
     def find_shift_neighbors(self, qt_target: float, num: int) -> list[AliFrag]:
+        """sse_frag_set.cpp:377-416 — the reference's literal O(n^2) swap
+        sort is unstable; replicate it verbatim so equal-|qt-target| ties
+        order identically."""
+        tgt = np.float32(qt_target)
         res = self.get_active_frags()
-        res.sort(key=lambda f: abs(float(f.qt()) - qt_target))
+        for i in range(len(res) - 1):
+            for j in range(i + 1, len(res)):
+                if (abs(np.float32(res[j].qt()) - tgt)
+                        < abs(np.float32(res[i].qt()) - tgt)):
+                    res[i], res[j] = res[j], res[i]
         return res[:num]
+
+    # ---- tracking-mode reporting helpers --------------------------------
+    def print_sse_info(self, templ_seq: str) -> str:
+        """sse_frag_set.cpp print_sse_info(string, ostream)."""
+        if self.ss_type == HELIX:
+            type_s = "Helix"
+        elif self.ss_type == STRAND:
+            type_s = "Strand"
+        else:
+            type_s = "Undefined"
+        return (f"SSE id: {self.sse_id}\nType: {type_s}\n"
+                f"T: {self.t0} - {self.t1}\n"
+                f"QT: {self.qt_shift_lo} - {self.qt_shift_hi}\n"
+                f"Seq: {templ_seq[self.t0 : self.t1 + 1]}\n")
+
+    def get_all_frags_qt_sorted(self) -> list[AliFrag]:
+        """sse_frag_set.cpp:169-196 (swap sort by qt ascending)."""
+        res = list(self.Frags)
+        for i in range(len(res) - 1):
+            for j in range(i + 1, len(res)):
+                if res[j].qt() < res[i].qt():
+                    res[i], res[j] = res[j], res[i]
+        return res
+
+    def get_frag_status(self, frag: AliFrag) -> int:
+        return frag.status  # sse_frag_set.cpp:414-416
 
 
 class FragSet:

@@ -155,3 +155,39 @@ class SkelAli:
 
     def get_score(self):
         return float(self.score)
+
+    # ---- tracking-mode rendering (skel_ali.cpp:281-319) ------------------
+    def render_print(self, query_seq: str, templ_seq: str) -> str:
+        """Skel_Ali::print(qseq, tseq, min_ali_res, ostream) — the culled-
+        skeleton dump written to the track_*.txt files."""
+        def g(v):
+            return f"{float(v):g}"
+        out = ["-----------\n",
+               "Skel info:    \n",
+               f"#frags:       {len(self.connections)}\n",
+               f"score:        {g(self.get_score())}\n",
+               f"native shift: {g(self.shift)}\n",
+               f"SSE_CO:       {g(self.get_contact_order())}\n",
+               f"cov_res:      {self.get_num_aligned()}\n",
+               "Frags:        \n", "\n"]
+        first = self.get_frag(self.connections[0].prev_frag)
+        out.append(first.render_block(query_seq, templ_seq))
+        out.append(f"cnxn score: {g(self.connections[0].connection_score)}\n")
+        out.append("\n")
+        for i in range(1, len(self.connections)):
+            beg = self.connections[i - 1].next_beg_res_idx
+            end = self.connections[i].prev_end_res_idx
+            out.append("\n")
+            out.append(self.get_frag(self.connections[i].prev_frag)
+                       .render_block_window(query_seq, templ_seq, beg, end))
+            out.append("\n")
+            out.append(f"cnxn score: "
+                       f"{g(self.connections[i].connection_score)}\n")
+        out.append("\n")
+        last = self.get_frag(self.connections[-1].next_frag)
+        beg = self.connections[-1].next_beg_res_idx
+        end = last.core_t1()
+        out.append(last.render_block_window(query_seq, templ_seq, beg, end))
+        out.append("\n")
+        out.append("-----------\n")
+        return "".join(out)

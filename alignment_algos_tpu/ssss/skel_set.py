@@ -210,6 +210,43 @@ class SkelSet:
         self._sort_culled_skels(sa, lists[reason])
         self.num_culled[reason] += 1
 
+    def send_culled_alis_to_files(self, directory: str = ".") -> None:
+        """skel_set.cpp:580-622 — dump the tracked culled skeletons to the
+        four track_*.txt files (reference file names, opened in the ctor
+        there so they exist even when empty) with the per-item stderr
+        narration."""
+        import os
+
+        def g(v):
+            return f"{float(v):g}"
+
+        files = {
+            1: ("Low_Coverage", self.Low_Coverage, "track_low_coverage.txt"),
+            2: ("Low_SSE_CO", self.Low_SSE_CO, "track_low_CO.txt"),
+            3: ("Bad_Strands", self.Bad_Strands, "track_bad_strands.txt"),
+            4: ("Low_Score", self.Low_Score, "track_low_score.txt"),
+        }
+        for reason in (1, 2, 3, 4):
+            label, lst, fn = files[reason]
+            print(label, file=sys.stderr)
+            with open(os.path.join(directory, fn), "w") as ofs:
+                for sa in lst:
+                    ofs.write(sa.render_print(self.query_seq, self.templ_seq))
+                    if reason == 1:
+                        print(f"shift: {g(sa.shift)}, coverage: "
+                              f"{sa.get_num_aligned()} of "
+                              f"{self.min_aligned_residues}", file=sys.stderr)
+                    elif reason == 2:
+                        print(f"shift: {g(sa.shift)}, SSE_CO: "
+                              f"{g(sa.get_contact_order())} of "
+                              f"{g(self.min_SSE_CO)}", file=sys.stderr)
+                    elif reason == 3:
+                        print(f"shift: {g(sa.shift)}", file=sys.stderr)
+                    else:
+                        print(f"shift: {g(sa.shift)}, score: "
+                              f"{g(sa.get_score())}", file=sys.stderr)
+            print("\n", file=sys.stderr)
+
     # ------------------------------------------------------------------
     def find_template_SSE_CO(self) -> float:
         """skel_set.cpp:534-577 (note: iterates j/n over [beg_id, end_id) —
