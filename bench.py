@@ -26,10 +26,16 @@ import numpy as np
 
 REF_BASELINE_CUPS = 0.62e6  # measured: /tmp/refbuild/aaa, 512x512, see above
 
-B = 128
+# production kernel configuration (tools/kernel_sweep.py + kernel_profile*,
+# round 2): batch 512 on the lane axis, int8 similarity streaming, 8
+# diagonals per grid step with 4 chained through temporaries — the largest
+# shape whose five f32 state slabs + compiler temps + double-buffered
+# blocks fit the 16 MB VMEM budget
+B = 512
 Q = T = 512
 GI, GE = 11.0, 1.0
 ITERS = 32
+KD, UF = 8, 4
 
 
 def measure_reference() -> float:
@@ -92,26 +98,44 @@ def main() -> int:
 
     @jax.jit
     def run(qcodes, tcodes, tbl, gp, acc):
-        # bf16 similarity is exact for integer substitution tables; the DP
+        # int8 similarity is exact for integer substitution tables; the DP
         # kernel accumulates in float32
-        s = swaffine.similarity_from_codes(qcodes, tcodes, tbl,
-                                           sim_dtype=jnp.bfloat16)
-        sd = swaffine.skew_similarity(s)
-        scores = swaffine.sw_affine_scores_from_skewed(sd, gp, q=Q, t=T)
+        sd = swaffine.skewed_similarity_from_codes(qcodes, tcodes, tbl,
+                                                   sim_dtype=jnp.int8)
+        scores = swaffine.sw_affine_scores_from_skewed(sd, gp, q=Q, t=T,
+                                                       kd=KD, uf=UF)
         return acc + jnp.sum(scores)
 
-    acc = jnp.float32(0.0)
-    np.asarray(run(qcs[0], tcs[0], table, gap, acc))  # compile + warm up
-    # best of two passes: the remote tunnel's run-to-run variance is large
-    dt = float("inf")
-    for _ in range(2):
+    def timed(fn, inputs):
         acc = jnp.float32(0.0)
-        t0 = time.perf_counter()
-        for i in range(ITERS):
-            acc = run(qcs[i], tcs[i], table, gap, acc)
-        total = float(np.asarray(acc))  # single pull forces the whole chain
-        dt = min(dt, time.perf_counter() - t0)
-        assert np.isfinite(total)
+        np.asarray(fn(inputs[0], acc))  # compile + warm up
+        # best of two passes: the tunnel's run-to-run variance is large
+        best = float("inf")
+        for _ in range(2):
+            acc = jnp.float32(0.0)
+            t0 = time.perf_counter()
+            for x in inputs:
+                acc = fn(x, acc)
+            total = float(np.asarray(acc))  # one pull forces the chain
+            best = min(best, time.perf_counter() - t0)
+            assert np.isfinite(total)
+        return best
+
+    dt = timed(lambda x, acc: run(x[0], x[1], table, gap, acc),
+               list(zip(qcs, tcs)))
+
+    # kernel-proper throughput: the DP engine alone on device-resident
+    # pre-skewed similarity (the screen steady state once similarity
+    # production is amortized/overlapped)
+    sds = [jax.block_until_ready(swaffine.skewed_similarity_from_codes(
+        qcs[i], tcs[i], table, sim_dtype=jnp.int8)) for i in range(ITERS)]
+
+    @jax.jit
+    def run_kernel(sd, acc):
+        scores = swaffine.sw_affine_scores_from_skewed(sd, gap, q=Q, t=T,
+                                                       kd=KD, uf=UF)
+        return acc + jnp.sum(scores)
+    dt_kernel = timed(run_kernel, sds)
 
     cells = B * Q * T * ITERS
     cups = cells / dt
@@ -122,8 +146,9 @@ def main() -> int:
         "unit": "GCUPS",
         "vs_baseline": round(cups / ref, 1),
         "detail": {
-            "batch": B, "q": Q, "t": T, "iters": ITERS,
+            "batch": B, "q": Q, "t": T, "iters": ITERS, "kd": KD, "uf": UF,
             "seconds": round(dt, 4),
+            "kernel_only_gcups": round(cells / dt_kernel / 1e9, 3),
             "device": str(jax.devices()[0]),
             "reference_mcups": round(ref / 1e6, 3),
         },
