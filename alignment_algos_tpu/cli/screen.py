@@ -6,12 +6,13 @@ One query FASTA sequence is screened against every sequence of a library
 FASTA with the batched affine-gap Smith-Waterman engine, the library
 sharded over the device mesh (`parallel/screen.py`: per-shard scoring, ICI
 all-gather top-k merge with deterministic score-desc/index-asc ties).  The
-top-K hits are then aligned all-vs-all and UPGMA-clustered on normalized SW
-distance (BASELINE.md configs 2 and 5).
+top-K hits' optimal alignments then come off the device in one
+traceback-kernel batch and are UPGMA-clustered on the reference ali_dist
+area metric over the shared query axis (BASELINE.md configs 2 and 5).
 
     aat_screen query.fa library.fa [--top_k 10] [--gap_init 11]
                [--gap_extn 1] [--SUB_MATRIX BLOSUM62]
-               [--cluster_threshold 0.9] [--ckpt state.npz]
+               [--cluster_threshold 8.0] [--ckpt state.npz]
                [--chunk_size 1024]
 
 Variable-length templates are padded in-batch with a 21st "pad" code whose
@@ -107,7 +108,9 @@ def _run(argv) -> int:
     k = args.get_int("top_k", 10)
     gi = args.get_float("gap_init", ali_params.gap_init_penalty)
     ge = args.get_float("gap_extn", ali_params.gap_extn_penalty)
-    thresh = args.get_float("cluster_threshold", 0.9)
+    # UPGMA cut on the ali_dist area metric: average |query-template shift|
+    # in residues between two hits' alignments (ali_dist.cpp:633-638 scale)
+    thresh = args.get_float("cluster_threshold", 8.0)
     ckpt = args.get_str("ckpt", "")
     chunk = args.get_int("chunk_size", 1024)
     if args.get_int("profiles", 0) == 1:
@@ -151,7 +154,7 @@ def _run(argv) -> int:
 
     if len(idx) >= 2:
         _cluster_hits(q_codes, t_codes, table, gi, ge, scores, idx, names,
-                      thresh)
+                      thresh, pad_code)
     return 0
 
 
@@ -208,26 +211,37 @@ def _run_profiles(args, k: int, rc=None, top=None,
 
 
 def _cluster_hits(q_codes, t_codes, table, gi, ge, scores, idx, names,
-                  thresh: float) -> None:
-    """All-vs-all SW among the top hits -> normalized distance -> UPGMA
-    (BASELINE config 2 distance matrix + config 5 clustering)."""
-    import jax.numpy as jnp
+                  thresh: float, pad_code: int) -> None:
+    """Cluster the top hits by the reference alignment-distance metric
+    (BASELINE config 2 distance matrix + config 5 clustering).
+
+    Every hit's optimal local SW alignment against the query comes off the
+    device in one traceback-kernel batch (the batched analogue of
+    optimal.h:47-124); each alignment is a polyline over the shared query
+    axis, and the hit-hit distance is Ali_Dist's exact area between the two
+    polylines divided by the query length (ali_dist.cpp:160-414,633-638) —
+    the real area metric, via the native all-pairs engine."""
+    from ..analysis.ali_dist import ResPair, area_matrix
     from ..analysis.upgma import UPGMAClusterer
     from ..ops import swaffine
 
     hits = t_codes[np.asarray(idx, dtype=np.int64)]
     n = len(hits)
-    # pairwise SW of every (i, j) hit pair in one batch
-    qi, ti = np.triu_indices(n, k=1)
-    self_sc = np.asarray(swaffine.sw_affine_batch_xla(
-        jnp.asarray(hits), jnp.asarray(hits), jnp.asarray(table), gi, ge))
-    pair_sc = np.asarray(swaffine.sw_affine_batch_xla(
-        jnp.asarray(hits[qi]), jnp.asarray(hits[ti]), jnp.asarray(table),
-        gi, ge))
-    dist = np.zeros((n, n), dtype=np.float64)
-    for (a, b), s in zip(zip(qi, ti), pair_sc):
-        d = 1.0 - float(s) / max(1e-9, min(self_sc[a], self_sc[b]))
-        dist[a, b] = dist[b, a] = max(0.0, d)
+    qlen = q_codes.shape[0]
+    tlens = (hits != pad_code).sum(axis=1)
+    qb = np.broadcast_to(q_codes, (n, qlen))
+    _, paths = swaffine.sw_affine_tb_batch(qb, hits, table, gi, ge)
+
+    # polylines in Ali_Dist's (t, q) convention with the QUERY as the
+    # shared t axis, 1-based and sentinel-anchored at both ends exactly as
+    # strings_to_vrp renders the '^'/'$' matches
+    vrps = [
+        [ResPair(0, 0)]
+        + [ResPair(qi + 1, ti + 1) for qi, ti in p]
+        + [ResPair(qlen + 1, int(tlens[b]) + 1)]
+        for b, p in enumerate(paths)
+    ]
+    dist = np.asarray(area_matrix(vrps), dtype=np.float64) / float(qlen)
 
     clusterer = UPGMAClusterer(dist)
     clusterer.cluster()

@@ -586,6 +586,78 @@ def sw_affine_scores_xla(sd: jax.Array, gap: jax.Array, *, q: int,
     return jnp.max(m, axis=0)
 
 
+@functools.partial(jax.jit, static_argnames=("q", "t"))
+def sw_affine_tb_xla(sd: jax.Array, gap: jax.Array, *, q: int, t: int):
+    """Pure-XLA twin of ``_sw_tb_kernel`` (lax.scan over skewed diagonals):
+    emits bit-identical int8 traceback codes / running max / diagonal-of-max,
+    so :func:`decode_local_tracebacks` works on any backend."""
+    nd, qp, b = sd.shape
+    gi = gap[0, 0]
+    ge = gap[0, 1]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (qp, 1), 0)
+
+    def shift_down(x):
+        y = jnp.roll(x, 1, axis=0)
+        return jnp.where(ii == 0, jnp.float32(0.0), y)
+
+    def step(carry, inp):
+        hm1, hm2, e, f, m, dat = carry
+        d, s = inp
+        s = s.astype(jnp.float32)
+        jj = d - ii
+        valid = (ii < q) & (jj >= 0) & (jj < t)
+        e_open = hm1 - gi
+        e_ext = e - ge
+        e_new = jnp.maximum(e_ext, e_open)
+        f_open = jnp.where(ii == 0, NEG, shift_down(hm1) - gi)
+        f_ext = jnp.where(ii == 0, NEG, jnp.roll(f, 1, axis=0) - ge)
+        f_new = jnp.maximum(f_ext, f_open)
+        diag = shift_down(hm2) + s
+        h_new = jnp.maximum(jnp.maximum(diag, jnp.float32(0.0)),
+                            jnp.maximum(e_new, f_new))
+        h_new = jnp.where(valid, h_new, jnp.float32(0.0))
+        code = jnp.where(
+            h_new == 0.0, 0,
+            jnp.where(h_new == diag, 1, jnp.where(h_new == e_new, 2, 3)))
+        code = code | jnp.where(e_ext > e_open, 4, 0)
+        code = code | jnp.where(f_ext > f_open, 8, 0)
+        code = jnp.where(valid, code, 0).astype(jnp.int8)
+        upd = h_new > m
+        dat = jnp.where(upd, jnp.int32(d), dat)
+        m = jnp.where(upd, h_new, m)
+        return (h_new, hm1, e_new, f_new, m, dat), code
+
+    z = jnp.zeros((qp, b), jnp.float32)
+    neg = jnp.full((qp, b), NEG, jnp.float32)
+    di = jnp.zeros((qp, b), jnp.int32)
+    (_, _, _, _, m, dat), tb = jax.lax.scan(
+        step, (z, z, neg, neg, z, di), (jnp.arange(nd), sd))
+    return tb, m, dat
+
+
+def sw_affine_tb_batch(q_codes, t_codes, table, gi: float, ge: float,
+                       sim_dtype=jnp.float32):
+    """End-to-end batched local SW **with alignments**: codes -> skewed
+    similarity -> traceback engine (Pallas kernel on TPU, XLA twin
+    elsewhere) -> host decode.  Returns (scores (B,), paths) where paths[b]
+    is the optimal local alignment's matched (query_idx, template_idx)
+    0-based pairs — the batched device analogue of Optimal::enumerate
+    (optimal.h:47-124)."""
+    q_codes = jnp.asarray(q_codes)
+    t_codes = jnp.asarray(t_codes)
+    b, q = q_codes.shape
+    t = t_codes.shape[1]
+    sd = skewed_similarity_from_codes(q_codes, t_codes, jnp.asarray(table),
+                                      sim_dtype=sim_dtype)
+    gap = jnp.array([[gi, ge]], dtype=jnp.float32)
+    if jax.devices()[0].platform == "tpu":
+        tb, m, dat = sw_affine_tb_from_skewed(sd, gap, q=q, t=t)
+    else:
+        tb, m, dat = sw_affine_tb_xla(sd, gap, q=q, t=t)
+    return decode_local_tracebacks(np.asarray(tb), np.asarray(m),
+                                   np.asarray(dat), q, t, nb=b)
+
+
 def sw_affine_batch_xla(q_codes, t_codes, table, gi: float, ge: float):
     """End-to-end batched SW via the XLA engine (portable)."""
     b, q = q_codes.shape

@@ -221,3 +221,44 @@ def test_qd_layout_screen_path_matches(dt):
     np.testing.assert_array_equal(
         np.transpose(np.asarray(sd_qd), (1, 0, 2))[:, :8, :],
         sd_ref[:, :8, :])
+
+
+@pytest.mark.parametrize("q,t,seed", [(8, 8, 3), (13, 10, 4), (24, 17, 5)])
+def test_sw_tb_xla_twin_matches_kernel(q, t, seed):
+    """The portable XLA traceback engine emits bit-identical codes, running
+    max and diagonal-of-max to the Pallas kernel."""
+    rng = np.random.default_rng(seed)
+    b = 4
+    s = rng.integers(-4, 12, size=(b, q, t)).astype(np.float32)
+    gap = jnp.array([[11.0, 1.0]], dtype=jnp.float32)
+    sd = swaffine.skew_similarity(jnp.asarray(s))
+    with _interp():
+        tb_k, m_k, dat_k = swaffine.sw_affine_tb_from_skewed(sd, gap,
+                                                             q=q, t=t)
+    tb_x, m_x, dat_x = swaffine.sw_affine_tb_xla(sd, gap, q=q, t=t)
+    nd = q + t - 1
+    np.testing.assert_array_equal(np.asarray(tb_x)[:nd],
+                                  np.asarray(tb_k)[:nd])
+    np.testing.assert_array_equal(np.asarray(m_x), np.asarray(m_k))
+    np.testing.assert_array_equal(np.asarray(dat_x), np.asarray(dat_k))
+
+
+def test_sw_tb_batch_end_to_end():
+    """codes -> traceback -> decoded paths: scores match the score-only
+    engine and every path re-scores to its reported score."""
+    rng = np.random.default_rng(7)
+    b, q, t = 5, 16, 19
+    qc = rng.integers(0, 20, (b, q)).astype(np.int32)
+    tc = rng.integers(0, 20, (b, t)).astype(np.int32)
+    table = rng.integers(-6, 8, (20, 20)).astype(np.float32)
+    gi, ge = 5.0, 0.5
+    scores, paths = swaffine.sw_affine_tb_batch(qc, tc, table, gi, ge)
+    ref = np.asarray(swaffine.sw_affine_batch_xla(qc, tc, table, gi, ge))
+    np.testing.assert_allclose(scores, ref, rtol=0, atol=0)
+    for bi in range(b):
+        if scores[bi] == 0.0:
+            assert paths[bi] == []
+            continue
+        s = table[np.ix_(qc[bi], tc[bi])]
+        np.testing.assert_allclose(_path_score(s, paths[bi], gi, ge),
+                                   scores[bi], rtol=0, atol=0)
