@@ -74,10 +74,11 @@ def _kernel(s_ref, d_ref, cpr_ref, ins0_ref, insc_ref, dcl_ref, h_ref,
     # ---- prologue: zero H, boundary row q0+1 and boundary col t0+1 -------
     h_ref[0] = jnp.zeros((q2, t2), f32)
 
-    brow_del = clamp((f32(0.0) - d_ref[0, pl.ds(t0, 1), :])
-                     + s_ref[0, pl.ds(q0 + 1, 1), :])
-    brow = jnp.where(jj_row == t0 + 1, clamp(s_ref[0, q0 + 1, t0 + 1]),
-                     brow_del)
+    srow_b = s_ref[0, pl.ds(q0 + 1, 1), :]                    # (1, t2)
+    brow_del = clamp((f32(0.0) - d_ref[0, pl.ds(t0, 1), :]) + srow_b)
+    # at column t0+1 the boundary value is just clamp(sim) (scalar stores/
+    # loads don't lower on Mosaic, so keep everything row-shaped)
+    brow = jnp.where(jj_row == t0 + 1, clamp(srow_b), brow_del)
     brow = jnp.where((jj_row >= t0 + 1) & (jj_row <= t1 - 1), brow, f32(0.0))
     h_ref[0, pl.ds(q0 + 1, 1), :] = brow
 
@@ -128,21 +129,30 @@ def _kernel(s_ref, d_ref, cpr_ref, ins0_ref, insc_ref, dcl_ref, h_ref,
     jax.lax.fori_loop(0, max(q1 - q0 - 2, 0), row_body, 0)
 
     # ---- closing cell (q1, t1) --------------------------------------------
-    sim_c = s_ref[0, q1, t1]
-    match = clamp(h_ref[0, q1 - 1, t1 - 1] + sim_c)
-
+    # all vector-shaped: Mosaic cannot load/store scalars from/to VMEM.
+    # one-hot max extractions are exact (other entries are NEG), so the
+    # float op order of every candidate is unchanged.
+    srow_c = s_ref[0, pl.ds(q1, 1), :]                            # (1, t2)
+    sim_c = jnp.max(jnp.where(jj_row == t1, srow_c, f32(NEG)),
+                    axis=1, keepdims=True)                        # (1, 1)
     hlast = h_ref[0, pl.ds(q1 - 1, 1), :]                         # (1, t2)
+    h_diag = jnp.max(jnp.where(jj_row == t1 - 1, hlast, f32(NEG)),
+                     axis=1, keepdims=True)                       # (1, 1)
+    match = clamp(h_diag + sim_c)
+
     dcand = clamp((hlast - dcl_ref[0]) + sim_c)                   # (1, t2)
     dmask = (jj_row >= t0 + 1) & (jj_row <= t1 - 1)
     dcand = jnp.where(dmask, dcand, f32(NEG))
-    del_max = jnp.max(dcand)
+    del_max = jnp.max(dcand, axis=1, keepdims=True)               # (1, 1)
 
     icand = clamp((h_ref[0, :, pl.ds(t1 - 1, 1)] - insc_ref[0]) + sim_c)
     imask = (ii_col >= q0 + 1) & (ii_col <= q1 - 1)
     icand = jnp.where(imask, icand, f32(NEG))
-    ins_max = jnp.max(icand)
+    ins_max = jnp.max(icand, axis=0, keepdims=True)               # (1, 1)
 
-    h_ref[0, q1, t1] = jnp.maximum(match, jnp.maximum(del_max, ins_max))
+    best = jnp.maximum(match, jnp.maximum(del_max, ins_max))      # (1, 1)
+    row_q1 = h_ref[0, pl.ds(q1, 1), :]
+    h_ref[0, pl.ds(q1, 1), :] = jnp.where(jj_row == t1, best, row_q1)
 
 
 @functools.partial(jax.jit, static_argnames=("q0", "q1", "t0", "t1", "local"))

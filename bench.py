@@ -38,8 +38,9 @@ ITERS = 32
 KD, UF = 8, 4
 
 
-def measure_reference() -> float:
-    """Live-measure the reference binary if available (cells/sec)."""
+def measure_reference() -> tuple:
+    """Live-measure the reference binary if available.  Returns
+    (cells/sec, seconds for the 512x512 run)."""
     aaa = "/tmp/refbuild/aaa"
     blosum = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "tests", "data", "BLOSUM62")
@@ -67,11 +68,154 @@ def measure_reference() -> float:
             if l.startswith("total cpu"):
                 times[n] = float(l.split()[-1])
     if 512 not in times or 64 not in times:
-        return REF_BASELINE_CUPS
+        return REF_BASELINE_CUPS, (514 * 514) / REF_BASELINE_CUPS
     dt = times[512] - times.get(64, 0.0)
     if dt <= 0:
-        return REF_BASELINE_CUPS
-    return (514 * 514) / dt
+        return REF_BASELINE_CUPS, (514 * 514) / REF_BASELINE_CUPS
+    return (514 * 514) / dt, times[512]
+
+
+def _mkseq(rng, n):
+    from alignment_algos_tpu.seq.sequence import AASequence
+    alpha = "ARNDCQEGHILKMFPSTWYV"
+    s = AASequence()
+    s.append("".join(alpha[i] for i in rng.integers(0, 20, n)))
+    return s
+
+
+def config1_exact_pairwise(bl, ref_sec: float) -> dict:
+    """BASELINE config 1: one 512x512 exact general-gap DP (the aaa /
+    nalign recurrence, dpmatrix.h:356-536) + optimal traceback, on device.
+    Two distinct pairs; the second (compile-cached) run is timed."""
+    from alignment_algos_tpu.core.alignment import AlignmentSet
+    from alignment_algos_tpu.core.dp import DPMatrix
+    from alignment_algos_tpu.core.enumerators import Optimal
+    from alignment_algos_tpu.scoring.aasub import AASubstitutionEval
+    from alignment_algos_tpu.utils.params import AliParams
+
+    rng = np.random.default_rng(3)
+    ap = AliParams()
+    ap.align_type = 1
+    ev = AASubstitutionEval(ap, bl)
+    dt = None
+    for _ in range(2):
+        q, t = _mkseq(rng, 512), _mkseq(rng, 512)
+        t0 = time.perf_counter()
+        dpm = DPMatrix(q, t, ev, "fwd", ap.align_type)
+        as_ = AlignmentSet(dpm, Optimal(ap.align_type))
+        assert len(as_) == 1 and len(as_[0]) > 0
+        dt = time.perf_counter() - t0
+    return {"seconds": round(dt, 4), "reference_seconds": round(ref_sec, 4),
+            "speedup_vs_reference": round(ref_sec / dt, 1) if dt else 0.0}
+
+
+def config2_screen_cluster(bl) -> dict:
+    """BASELINE config 2 (+5's clustering): ~100-seq library screened
+    against a query, every hit's optimal alignment decoded from the device
+    traceback kernel, exact ali_dist K x K area matrix, UPGMA."""
+    import contextlib
+    import io
+
+    from alignment_algos_tpu.cli.screen import (_cluster_hits,
+                                                encode_library, padded_table)
+    from alignment_algos_tpu.parallel import screen as pscreen
+
+    rng = np.random.default_rng(4)
+    alpha = "ARNDCQEGHILKMFPSTWYV"
+    nlib, length = 100, 256
+    qseq = "".join(alpha[i] for i in rng.integers(0, 20, length))
+    seqs = ["".join(alpha[i] for i in rng.integers(0, 20, length))
+            for _ in range(nlib)]
+    table, pad_code = padded_table(bl)
+    index = {c: i for i, c in enumerate(bl.alphabet)}
+    q_codes = np.asarray([index[c] for c in qseq], dtype=np.int32)
+    t_codes = encode_library(seqs, index, pad_code)
+    names = [f"t{i}" for i in range(nlib)]
+
+    t0 = time.perf_counter()
+    scores, idx = pscreen.screen_library(q_codes, t_codes, table, GI, GE,
+                                         k=nlib)
+    with contextlib.redirect_stdout(io.StringIO()):
+        _cluster_hits(q_codes, t_codes, table, GI, GE, scores, idx, names,
+                      8.0, pad_code)
+    dt = time.perf_counter() - t0
+    return {"seconds": round(dt, 4), "library": nlib, "length": length,
+            "pipeline": "screen + traceback + ali_dist matrix + UPGMA"}
+
+
+def config3_enumeration(bl) -> dict:
+    """BASELINE config 3: near-optimal enumeration at HMAPRC production
+    parameters (NUM_SUBOPT=1000, DELTA_RATIO=0.20) through the native cw
+    engine, on a 512-residue pair."""
+    from alignment_algos_tpu.core.alignment import AlignmentSet
+    from alignment_algos_tpu.core.dp import DPMatrix
+    from alignment_algos_tpu.core.enumerators import (ConstrainedNearOptimal,
+                                                      Optimal)
+    from alignment_algos_tpu.scoring.aasub import AASubstitutionEval
+    from alignment_algos_tpu.seq.sflags import SuboptFlags
+    from alignment_algos_tpu.utils.params import AliParams, NOaliParams
+
+    rng = np.random.default_rng(5)
+    ap = AliParams()
+    ap.align_type = 1
+    ev = AASubstitutionEval(ap, bl)
+    q, t = _mkseq(rng, 512), _mkseq(rng, 512)
+    dpm = DPMatrix(q, t, ev, "fwd", ap.align_type)
+    na = NOaliParams()
+    na.number_suboptimal = 1000
+    na.delta_ratio = 0.20
+    flags = SuboptFlags(True, t.size())
+    t0 = time.perf_counter()
+    as_ = AlignmentSet(dpm, Optimal(ap.align_type))
+    ConstrainedNearOptimal(na, flags).enumerate(dpm, as_)
+    dt = time.perf_counter() - t0
+    return {"seconds": round(dt, 4), "alignments": len(as_),
+            "alignments_per_sec": round(len(as_) / dt, 1) if dt else 0.0}
+
+
+def config4_hmap_profile() -> dict:
+    """BASELINE config 4: HMAP profile-profile scoring (position-specific
+    gaps, z-normalized similarity — the nalign path) at library scale
+    through the exact general-gap device engine (ops/dp_pallas on TPU)."""
+    import sys as _sys
+    tools = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    if tools not in _sys.path:
+        _sys.path.insert(0, tools)
+    from make_profiles import make_profile
+
+    from alignment_algos_tpu.parallel.screen import screen_profiles
+    from alignment_algos_tpu.scoring.hmap_eval import HMAPaliEval
+    from alignment_algos_tpu.seq.hmap import HMAPSequence
+    from alignment_algos_tpu.utils.params import HMAPaliParams
+
+    rng = np.random.default_rng(6)
+    ntempl, length = 16, 256
+    d = "/tmp/aat_bench_profiles"
+    os.makedirs(d, exist_ok=True)
+    qfn = os.path.join(d, "query.prof")
+    with open(qfn, "w") as f:
+        f.write(make_profile(rng, "q", length))
+    tfns = []
+    for i in range(ntempl):
+        fn = os.path.join(d, f"t{i}.prof")
+        with open(fn, "w") as f:
+            f.write(make_profile(rng, f"t{i}", length))
+        tfns.append(fn)
+
+    query = HMAPSequence.from_file(qfn)
+    templates = [HMAPSequence.from_file(fn) for fn in tfns]
+    params = HMAPaliParams()
+    factory = lambda q, t: HMAPaliEval(params)
+
+    dt = None
+    for _ in range(2):  # second run is compile-cached
+        t0 = time.perf_counter()
+        scores, order = screen_profiles(query, templates, factory, k=5)
+        dt = time.perf_counter() - t0
+    q2 = t2 = length + 2
+    cand = ntempl * q2 * t2 * (q2 + t2)
+    return {"seconds": round(dt, 4), "templates": ntempl, "length": length,
+            "g_candidate_evals_per_sec": round(cand / dt / 1e9, 3)}
 
 
 def main() -> int:
@@ -139,7 +283,24 @@ def main() -> int:
 
     cells = B * Q * T * ITERS
     cups = cells / dt
-    ref = measure_reference()
+    ref, ref_sec = measure_reference()
+
+    from alignment_algos_tpu.scoring.submatrix import BlosumMatrix as _BM
+    blm = _BM(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tests", "data", "BLOSUM62"))
+    configs = {}
+    for name, fn in (("config1_exact_pairwise",
+                      lambda: config1_exact_pairwise(blm, ref_sec)),
+                     ("config2_screen_cluster",
+                      lambda: config2_screen_cluster(blm)),
+                     ("config3_enumeration",
+                      lambda: config3_enumeration(blm)),
+                     ("config4_hmap_profile", config4_hmap_profile)):
+        try:
+            configs[name] = fn()
+        except Exception as e:  # record, don't fail the whole bench
+            configs[name] = {"error": f"{type(e).__name__}: {e}"}
+
     out = {
         "metric": "batched_sw_affine_cell_updates_per_sec",
         "value": round(cups / 1e9, 3),
@@ -151,6 +312,7 @@ def main() -> int:
             "kernel_only_gcups": round(cells / dt_kernel / 1e9, 3),
             "device": str(jax.devices()[0]),
             "reference_mcups": round(ref / 1e6, 3),
+            "configs": configs,
         },
     }
     print(json.dumps(out))
@@ -172,7 +334,7 @@ def _supervised() -> int:
     for attempt in range(3):
         try:
             r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                               env=env, timeout=420, capture_output=True,
+                               env=env, timeout=900, capture_output=True,
                                text=True)
         except subprocess.TimeoutExpired:
             print(f"bench attempt {attempt + 1} timed out (tunnel wedge?); "
