@@ -3,8 +3,12 @@ Residue machinery the reference links against (struct.h:19-22, not shipped
 with the reference repo).
 
 Parses ATOM records for one chain into structure-of-arrays form, plus
-HELIX/SHEET header records when present.  Occupancy/altloc: first altloc
-wins.  Waters and hetero residues are skipped.
+HELIX/SHEET header records when present.  Altloc: the first conformer seen
+per atom wins (real PDB files order altlocs by descending occupancy, and
+some residues carry ONLY a "B" conformer — those must still parse).
+Waters and non-residue HETATMs are skipped; MSE/SEC/PYL HETATMs are kept
+as chain residues.  ANISOU/SIGATM/TER records are ignored; only the first
+MODEL of multi-model files is read.
 """
 
 from __future__ import annotations
@@ -128,9 +132,6 @@ def parse_pdb_chain(path_or_stream, chain_id: str | None = None) -> Chain:
             if chain_id is None:
                 chain_id = cid  # first chain encountered
             if cid != chain_id:
-                continue
-            altloc = line[16]
-            if altloc not in (" ", "A", "1"):
                 continue
             name = line[12:16].strip()
             resseq = int(line[22:26])

@@ -130,10 +130,27 @@ class SMAPSequence(HMAPSequence):
         self.ca_xyz = np.zeros((n2, 3))
         self.c_xyz = np.zeros((n2, 3))
         self.cb_xyz = np.zeros((n2, 3))
-        self.n_xyz[1 : nr + 1] = ch.coords("N")
-        self.ca_xyz[1 : nr + 1] = ch.coords("CA")
-        self.c_xyz[1 : nr + 1] = ch.coords("C")
-        self.cb_xyz[1 : nr + 1] = ch.coords("CB", fallback="CA")
+        # missing-atom fallback replicates gn2lib_seq.cpp:156-180: if ANY of
+        # N/CA/C is absent, all three take the residue's FIRST atom (file
+        # order), with a stderr warning; missing CB falls back to CA (silent
+        # only for glycine).
+        for i, r in enumerate(ch.residues):
+            n, ca, c = r.get("N"), r.get("CA"), r.get("C")
+            if n is None or ca is None or c is None:
+                front = next(iter(r.atoms.values()))
+                n = ca = c = front
+                print(f"***missing atoms***\nresidue: {r.olc}{i + 1}"
+                      f", atoms in residue: {len(r.atoms)}", file=sys.stderr)
+            cb = r.get("CB")
+            if cb is None:
+                if r.olc != "G":
+                    print(f"residue: {r.olc}{i + 1}, CB missing",
+                          file=sys.stderr)
+                cb = ca
+            self.n_xyz[i + 1] = n
+            self.ca_xyz[i + 1] = ca
+            self.c_xyz[i + 1] = c
+            self.cb_xyz[i + 1] = cb
 
         self._calc_hbond_contact_map(hbonds)
         self._calc_broken_hbs(hbonds)

@@ -32,7 +32,10 @@ CASES = [
     ("hmap2", ["--max_returned", "10"]),
     ("hmap2", ["--max_returned", "25", "--min_cov", "0.2",
                "--min_CO", "0.5"]),
-    ("hmap2", ["--ali_mode", "0", "--max_returned", "15"]),
+    # global mode; thresholds loosened so the 222-res "real" fixture (remote
+    # homolog, 30% divergence) still yields alignments
+    ("hmap2", ["--ali_mode", "0", "--max_returned", "15",
+               "--min_cov", "0.1", "--min_CO", "0.0"]),
     ("hmap2", ["--max_searched", "500", "--max_returned", "50"]),
     ("gn2", []),
     ("gn2", ["--max_returned", "20", "--min_cov", "0.3"]),
@@ -45,6 +48,9 @@ FIXTURES = {
     # bigger fragment graph, live strand rules; tools/make_smap_fixture.py)
     "small": ("templ_smap.prof", "query30.prof"),
     "big": ("templ_big.prof", "query_big.prof"),
+    # 222-res deposited-style pathological PDB + homologous 180-res query
+    # (tools/make_smap_fixture.make_fixture_real; VERDICT r1 item 6)
+    "real": ("templ_real.prof", "query_real.prof"),
 }
 
 

@@ -37,6 +37,9 @@ pytestmark = pytest.mark.skipif(not os.path.exists(ORACLE),
 FIXTURES = {
     "small": ("templ_smap.prof", "query30.prof"),
     "big": ("templ_big.prof", "query_big.prof"),
+    # 222-res deposited-style pathological PDB + homologous 180-res query
+    # (tools/make_smap_fixture.make_fixture_real; VERDICT r1 item 6)
+    "real": ("templ_real.prof", "query_real.prof"),
 }
 
 CASES = [

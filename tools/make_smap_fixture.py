@@ -17,7 +17,7 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from make_pdb import build_backbone, write_pdb  # noqa: E402
+from make_pdb import build_backbone, write_pdb, write_pdb_real  # noqa: E402
 
 AA = "ARNDCQEGHILKMFPSTWYV"
 
@@ -89,6 +89,51 @@ def make_fixture(out_dir: str, tag: str, ss: str, query_len: int,
         f.write(profile_text(rng, f"q{tag}", qseq, qss))
 
 
+def _sse_ranges0(ss: str, kind: str):
+    """0-based inclusive ranges (write_pdb_real's convention)."""
+    return [(a - 1, b - 1) for a, b in _sse_ranges(ss, kind)]
+
+
+def make_fixture_real(out_dir: str, seed: int = 23):
+    """Realistic-scale fixture: ~250-residue alpha/beta fold written as a
+    deposited-style PDB (altLocs, insertion code, author-numbering break,
+    MSE HETATM, missing atoms, second chain, waters/ligand — see
+    make_pdb.write_pdb_real) plus matching SMAP template and 180-residue
+    query profiles.  VERDICT round-1 item 6: the reference was built for
+    real proteins (gn2lib_seq.cpp:96-201); this is the at-scale battery
+    input."""
+    rng = np.random.default_rng(seed)
+    # four-layer alpha/beta fold, 10 helices / 10 strands, ~230 residues
+    segs = []
+    for k in range(10):
+        segs += ["C" * int(rng.integers(2, 5)),
+                 "H" * int(rng.integers(9, 15)),
+                 "C" * int(rng.integers(2, 4)),
+                 "E" * int(rng.integers(5, 8))]
+    ss = "".join(segs) + "CC"
+    seq = "".join(AA[i] for i in rng.integers(0, 20, len(ss)))
+    pdb_fn = "real_struct.pdb"
+    bb = build_backbone(ss)
+    numbering, seq, info = write_pdb_real(
+        os.path.join(out_dir, pdb_fn), seq, bb,
+        helix_ranges=_sse_ranges0(ss, "H"),
+        sheet_ranges=_sse_ranges0(ss, "E"), seed=seed)
+    with open(os.path.join(out_dir, "templ_real.prof"), "w") as f:
+        f.write(profile_text(rng, "treal", seq, ss, pdb_name=pdb_fn))
+    # query: a remote homolog — a 180-residue excerpt of the template with
+    # 30% point mutations (same SSE architecture, so the fragment graph has
+    # real signal at realistic divergence)
+    lo = 20
+    qseq = list(seq[lo:lo + 180])
+    qss = ss[lo:lo + 180]
+    for i in range(len(qseq)):
+        if rng.random() < 0.30:
+            qseq[i] = AA[int(rng.integers(0, 20))]
+    with open(os.path.join(out_dir, "query_real.prof"), "w") as f:
+        f.write(profile_text(rng, "qreal", "".join(qseq), qss))
+    return ss, seq, info
+
+
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "tests/data"
     # larger fold: H(12) E(6) E(6) H(9) E(5) with coil linkers
@@ -96,3 +141,5 @@ if __name__ == "__main__":
           + "CCC" + "H" * 9 + "CC" + "E" * 5 + "C")
     make_fixture(out, "big", ss, query_len=52, seed=17)
     print("wrote", out, "tag=big, templ len", len(ss))
+    ss_r, seq_r, info = make_fixture_real(out)
+    print("wrote", out, "tag=real, templ len", len(ss_r), info)
