@@ -18,11 +18,23 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import subprocess
 import sys
 import time
 
 import numpy as np
+
+_ANSI = re.compile(r"\x1b\[[0-9;]*[A-Za-z]")
+
+
+def _short_err(e: BaseException, limit: int = 200) -> str:
+    """One bounded, ANSI-free line for an embedded error.  Round 2 lost its
+    headline because a multi-KB MosaicError (MLIR dump + escapes) was
+    embedded verbatim and defeated the driver's line parse."""
+    msg = _ANSI.sub("", f"{type(e).__name__}: {e}")
+    msg = " ".join(msg.split())
+    return msg[:limit]
 
 REF_BASELINE_CUPS = 0.62e6  # measured: /tmp/refbuild/aaa, 512x512, see above
 
@@ -299,7 +311,7 @@ def main() -> int:
         try:
             configs[name] = fn()
         except Exception as e:  # record, don't fail the whole bench
-            configs[name] = {"error": f"{type(e).__name__}: {e}"}
+            configs[name] = {"error": _short_err(e)}
 
     out = {
         "metric": "batched_sw_affine_cell_updates_per_sec",
@@ -315,7 +327,20 @@ def main() -> int:
             "configs": configs,
         },
     }
-    print(json.dumps(out))
+    # The headline must never share a line's fate with config details:
+    # self-check that the emitted line round-trips as JSON and stays small;
+    # if not, drop detail progressively until it does.
+    line = json.dumps(out)
+    if len(line) > 2048:
+        out["detail"]["configs"] = {k: {"error": "detail dropped (size)"}
+                                    if "error" in v else v
+                                    for k, v in configs.items()}
+        line = json.dumps(out)
+    if len(line) > 2048:
+        out["detail"].pop("configs", None)
+        line = json.dumps(out)
+    json.loads(line)  # self-check: driver must be able to parse this
+    print(line)
     return 0
 
 
