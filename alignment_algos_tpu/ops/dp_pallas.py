@@ -13,25 +13,35 @@ H - gi)) accumulates the gap cost through repeated subtraction — a different
 float rounding sequence — so it cannot be bit-equal for real-valued costs.
 The endpoint-min gap values (min over the flanking template residues) and
 gn2's distance-gated deletion table (gn2_eval.h:99-130) are not affine at
-all.  Precomputing D[k, j] on host (exact reference arithmetic) and taking
-masked maxima on device preserves candidate values exactly; max is
+all.  Precomputing the cost tables on host (exact reference arithmetic) and
+taking masked maxima on device preserves candidate values exactly; max is
 order-insensitive, so scores match bit-for-bit.
 
-Kernel layout (one pair per grid step, everything VMEM-resident):
-  * S (q2,t2), D (t2,t2), CpadR (2*q2,t2) stream in per pair; H (q2,t2) is
-    the output block.
-  * The row loop runs inside the kernel (fori_loop): per row one (t2,t2)
-    deletion slab over the previous row and one (q2,t2) insertion slab over
-    the column history, both pure VPU work.
-  * The previous row is needed in column orientation for the deletion
-    broadcast; the relayout is done on the MXU as an identity matmul
-    (eye @ row^T), which is far cheaper than a vector transpose on TPU.
-  * The insertion slab needs H[k][j-1]; a lane-shifted copy of H is
-    maintained incrementally (one row shift per step) instead of re-rolling
-    the whole matrix.
+Kernel layout — the Mosaic-clean design (round 3):
 
-Capacity: VMEM holds all tables for q2,t2 up to ~768; larger pairs fall
-back to ops/dp_engine (the XLA scan).
+  * The grid is (pair, row): each grid step computes ONE row of H.  The
+    similarity row streams in as a (1, 1, t2) block and the H row streams
+    out the same way, so there is NO dynamic sublane indexing anywhere —
+    the round-2 kernel kept the row loop inside the kernel and indexed a
+    2*q2-row cost slab at a dynamic sublane offset, which Mosaic rejects
+    ("cannot statically prove that index in dimension 1 is a multiple
+    of 8").
+  * Insertion candidates are indexed by gap DISTANCE m = i - k instead of
+    by absolute row k: the cost table Cm[m, j] = ins_cost(m, j) is then
+    static, and the H history lives in a distance-indexed scratch
+    hrev[m, j] = H[i-m, j-1] that rolls down one sublane per row.  Fresh
+    values enter at m = 1 (the just-finished previous row); every row the
+    mask needs (m in [2, i-1]) is valid by induction.
+  * Deletion candidates need the previous row in column orientation for
+    the (t2, t2) broadcast; the relayout is done on the MXU as an identity
+    matmul (eye @ row^T), far cheaper than a vector transpose on TPU.
+  * Boundary row/column and the closing cell (dpmatrix.h:409-426,504-534)
+    are pl.when branches on the row index; the boundary-column value is
+    merged into every interior row so the streamed-out row is final.
+
+Capacity: resident VMEM is Cm + hrev + D + eye ~= (2*q2*t2 + 2*t2*t2)*4 B
+plus small per-row blocks; q2,t2 up to ~768 fit the 16 MB budget.  Larger
+pairs fall back to ops/dp_engine (the XLA scan).
 """
 
 from __future__ import annotations
@@ -49,135 +59,142 @@ from .dp_ref import NULL, DPResult
 
 NEG = -3.0e38
 
-# per-pair VMEM: S + D + CpadR + H + Hsh + eye (+ slack for the (t2,t2)
-# candidate slab); keep under the 16 MB budget
+# resident VMEM: Cm + hrev (q2*t2 each) + D + eye (t2*t2 each), double-
+# buffered row blocks are negligible; keep under the 16 MB budget
 MAX_VMEM_SIDE = 768
 
 
-def _kernel(s_ref, d_ref, cpr_ref, ins0_ref, insc_ref, dcl_ref, h_ref,
-            hsh, eye, *, q0: int, q1: int, t0: int, t1: int, q2: int,
-            t2: int, local: bool):
+def _kernel(s_ref, d_ref, cm_ref, ins0_ref, insc_ref, dcl_ref, h_ref,
+            hrev, prev, eye, *, q0: int, q1: int, t0: int, t1: int,
+            q2: int, t2: int, local: bool):
     f32 = jnp.float32
+    i = pl.program_id(1)
 
     def clamp(x):
         return jnp.maximum(f32(0.0), x) if local else x
 
-    ii_col = jax.lax.broadcasted_iota(jnp.int32, (q2, 1), 0)
     jj_row = jax.lax.broadcasted_iota(jnp.int32, (1, t2), 1)
+    mm_col = jax.lax.broadcasted_iota(jnp.int32, (q2, 1), 0)
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when((pl.program_id(0) == 0) & (i == 0))
     def _():
         eye[:] = (jax.lax.broadcasted_iota(jnp.int32, (t2, t2), 0)
                   == jax.lax.broadcasted_iota(jnp.int32, (t2, t2), 1)
                   ).astype(f32)
 
-    # ---- prologue: zero H, boundary row q0+1 and boundary col t0+1 -------
-    h_ref[0] = jnp.zeros((q2, t2), f32)
+    sim = s_ref[0]                                              # (1, t2)
 
-    srow_b = s_ref[0, pl.ds(q0 + 1, 1), :]                    # (1, t2)
-    brow_del = clamp((f32(0.0) - d_ref[0, pl.ds(t0, 1), :]) + srow_b)
-    # at column t0+1 the boundary value is just clamp(sim) (scalar stores/
-    # loads don't lower on Mosaic, so keep everything row-shaped)
-    brow = jnp.where(jj_row == t0 + 1, clamp(srow_b), brow_del)
-    brow = jnp.where((jj_row >= t0 + 1) & (jj_row <= t1 - 1), brow, f32(0.0))
-    h_ref[0, pl.ds(q0 + 1, 1), :] = brow
+    # ---- rows before the boundary row: zeros --------------------------
+    @pl.when(i <= q0)
+    def _():
+        h_ref[0] = jnp.zeros((1, t2), f32)
 
-    bcol = clamp((f32(0.0) - ins0_ref[0]) + s_ref[0, :, pl.ds(t0 + 1, 1)])
-    cur = h_ref[0, :, pl.ds(t0 + 1, 1)]
-    h_ref[0, :, pl.ds(t0 + 1, 1)] = jnp.where(
-        (ii_col >= q0 + 2) & (ii_col <= q1 - 1), bcol, cur)
+    # ---- boundary row q0+1 (dpmatrix.h:409-417) ------------------------
+    @pl.when(i == q0 + 1)
+    def _():
+        brow_del = clamp((f32(0.0) - d_ref[0, pl.ds(t0, 1), :]) + sim)
+        brow = jnp.where(jj_row == t0 + 1, clamp(sim), brow_del)
+        brow = jnp.where((jj_row >= t0 + 1) & (jj_row <= t1 - 1), brow,
+                         f32(0.0))
+        h_ref[0] = brow
+        prev[:] = brow
 
-    # lane-shifted copy: hsh[k, j] = H[k, j-1]
-    hsh[:] = jnp.where(jj_row == 0, f32(0.0), pltpu.roll(h_ref[0], 1, axis=1))
+    # shared by interior + closing rows: advance the distance-indexed H
+    # history (hrev[m, j] = H[i-m, j-1]) and fetch the previous row
+    def advance_history():
+        shifted = jnp.where(jj_row == 0, f32(0.0),
+                            pltpu.roll(prev[:], 1, axis=1))
+        hist = pltpu.roll(hrev[:], 1, axis=0)
+        hrev[:] = jnp.where(mm_col == 1, shifted, hist)
 
-    # ---- interior rows ----------------------------------------------------
-    kk_col = jax.lax.broadcasted_iota(jnp.int32, (t2, 1), 0)
-    del_kmask = (kk_col >= t0 + 1) & (kk_col <= jj_row - 2)      # (t2, t2)
-    interior_j = (jj_row >= t0 + 2) & (jj_row <= t1 - 1)
+    # ---- interior rows q0+2 .. q1-1 (dpmatrix.h:447-486) ---------------
+    @pl.when((i >= q0 + 2) & (i <= q1 - 1))
+    def _():
+        advance_history()
+        hprev = prev[:]                                         # (1, t2)
+        match = clamp(hrev[pl.ds(1, 1), :] + sim)
 
-    def row_body(r, _):
-        i = q0 + 2 + r
-        hprev = h_ref[0, pl.ds(i - 1, 1), :]                      # (1, t2)
-        sim = s_ref[0, pl.ds(i, 1), :]                            # (1, t2)
-
-        mrow = pltpu.roll(hprev, 1, axis=1)
-        match = clamp(jnp.where(jj_row == 0, f32(0.0), mrow) + sim)
-
-        # deletion slab: hprev in column orientation via MXU identity matmul
+        # deletion slab: hprev in column orientation via MXU identity
         hcol = jax.lax.dot_general(
             eye[:], hprev, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32)                           # (t2, 1)
+            preferred_element_type=f32)                         # (t2, 1)
+        kk_col = jax.lax.broadcasted_iota(jnp.int32, (t2, 1), 0)
         dc = clamp((hcol - d_ref[0]) + sim)
-        dc = jnp.where(del_kmask, dc, f32(NEG))
-        del_max = jnp.max(dc, axis=0, keepdims=True)              # (1, t2)
+        dc = jnp.where((kk_col >= t0 + 1) & (kk_col <= jj_row - 2), dc,
+                       f32(NEG))
+        del_max = jnp.max(dc, axis=0, keepdims=True)            # (1, t2)
 
-        # insertion slab over the column history
-        cost = cpr_ref[0, pl.ds(q2 - i, q2), :]                   # (q2, t2)
-        ic = clamp((hsh[:] - cost) + sim)
-        kmask = (ii_col >= q0 + 1) & (ii_col <= i - 2)
-        ic = jnp.where(kmask, ic, f32(NEG))
-        ins_max = jnp.max(ic, axis=0, keepdims=True)              # (1, t2)
+        # insertion slab over the distance-indexed history
+        ic = clamp((hrev[:] - cm_ref[0]) + sim)
+        ic = jnp.where((mm_col >= 2) & (mm_col <= i - q0 - 1), ic, f32(NEG))
+        ins_max = jnp.max(ic, axis=0, keepdims=True)            # (1, t2)
 
         best = jnp.maximum(match, jnp.maximum(del_max, ins_max))
-        cur_row = h_ref[0, pl.ds(i, 1), :]
-        row = jnp.where(interior_j, best, cur_row)
-        h_ref[0, pl.ds(i, 1), :] = row
-        hsh[pl.ds(i, 1), :] = jnp.where(jj_row == 0, f32(0.0),
-                                        pltpu.roll(row, 1, axis=1))
-        return 0
 
-    jax.lax.fori_loop(0, max(q1 - q0 - 2, 0), row_body, 0)
+        # boundary column t0+1 (dpmatrix.h:419-426); exact one-hot max
+        # extraction of ins0[i] (other entries are NEG)
+        ins0_i = jnp.max(jnp.where(mm_col == i, ins0_ref[0], f32(NEG)))
+        bcol = clamp((f32(0.0) - ins0_i)
+                     + jnp.max(jnp.where(jj_row == t0 + 1, sim, f32(NEG))))
+        interior_j = (jj_row >= t0 + 2) & (jj_row <= t1 - 1)
+        row = jnp.where(interior_j, best, f32(0.0))
+        row = jnp.where(jj_row == t0 + 1, bcol, row)
+        h_ref[0] = row
+        prev[:] = row
 
-    # ---- closing cell (q1, t1) --------------------------------------------
-    # all vector-shaped: Mosaic cannot load/store scalars from/to VMEM.
-    # one-hot max extractions are exact (other entries are NEG), so the
-    # float op order of every candidate is unchanged.
-    srow_c = s_ref[0, pl.ds(q1, 1), :]                            # (1, t2)
-    sim_c = jnp.max(jnp.where(jj_row == t1, srow_c, f32(NEG)),
-                    axis=1, keepdims=True)                        # (1, 1)
-    hlast = h_ref[0, pl.ds(q1 - 1, 1), :]                         # (1, t2)
-    h_diag = jnp.max(jnp.where(jj_row == t1 - 1, hlast, f32(NEG)),
-                     axis=1, keepdims=True)                       # (1, 1)
-    match = clamp(h_diag + sim_c)
+    # ---- closing row q1: only cell (q1, t1) is set (dpmatrix.h:504-534)
+    @pl.when(i == q1)
+    def _():
+        advance_history()
+        hlast = prev[:]                                         # (1, t2)
+        sim_c = jnp.max(jnp.where(jj_row == t1, sim, f32(NEG)))   # scalar
+        h_diag = jnp.max(jnp.where(jj_row == t1 - 1, hlast, f32(NEG)))
+        match = clamp(h_diag + sim_c)
 
-    dcand = clamp((hlast - dcl_ref[0]) + sim_c)                   # (1, t2)
-    dmask = (jj_row >= t0 + 1) & (jj_row <= t1 - 1)
-    dcand = jnp.where(dmask, dcand, f32(NEG))
-    del_max = jnp.max(dcand, axis=1, keepdims=True)               # (1, 1)
+        dcand = clamp((hlast - dcl_ref[0]) + sim_c)             # (1, t2)
+        dcand = jnp.where((jj_row >= t0 + 1) & (jj_row <= t1 - 1), dcand,
+                          f32(NEG))
+        del_max = jnp.max(dcand)
 
-    icand = clamp((h_ref[0, :, pl.ds(t1 - 1, 1)] - insc_ref[0]) + sim_c)
-    imask = (ii_col >= q0 + 1) & (ii_col <= q1 - 1)
-    icand = jnp.where(imask, icand, f32(NEG))
-    ins_max = jnp.max(icand, axis=0, keepdims=True)               # (1, 1)
+        # insertion candidates H[q1-m, t1-1] - ins_cost(m, t1): the t1
+        # lane of hrev holds exactly H[q1-m, t1-1]
+        icand = clamp((hrev[:, pl.ds(t1 - 1 + 1, 1)] - insc_ref[0]) + sim_c)
+        icand = jnp.where((mm_col >= 1) & (mm_col <= q1 - q0 - 1), icand,
+                          f32(NEG))
+        ins_max = jnp.max(icand)
 
-    best = jnp.maximum(match, jnp.maximum(del_max, ins_max))      # (1, 1)
-    row_q1 = h_ref[0, pl.ds(q1, 1), :]
-    h_ref[0, pl.ds(q1, 1), :] = jnp.where(jj_row == t1, best, row_q1)
+        best = jnp.maximum(match, jnp.maximum(del_max, ins_max))
+        h_ref[0] = jnp.where(jj_row == t1, best, f32(0.0))
 
 
 @functools.partial(jax.jit, static_argnames=("q0", "q1", "t0", "t1", "local"))
-def _dp_pallas_batched(S, D, CpadR, ins0, ins_close, dclose, *, q0, q1,
+def _dp_pallas_batched(S, D, Cm, ins0, ins_close_m, dclose, *, q0, q1,
                        t0, t1, local):
     n, q2, t2 = S.shape
     kernel = functools.partial(_kernel, q0=q0, q1=q1, t0=t0, t1=t1,
                                q2=q2, t2=t2, local=local)
-    return pl.pallas_call(
+    # rows stream as (1, 1, t2) blocks; Mosaic requires block height 1 to
+    # equal the array dimension, so rows are flattened into the leading dim
+    S_rows = S.reshape(n * q2, 1, t2)
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, q2, t2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n * q2, 1, t2), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
-            grid=(n,),
+            grid=(n, q2),
             in_specs=[
-                pl.BlockSpec((1, q2, t2), lambda b: (b, 0, 0)),
-                pl.BlockSpec((1, t2, t2), lambda b: (b, 0, 0)),
-                pl.BlockSpec((1, 2 * q2, t2), lambda b: (b, 0, 0)),
-                pl.BlockSpec((1, q2, 1), lambda b: (b, 0, 0)),
-                pl.BlockSpec((1, q2, 1), lambda b: (b, 0, 0)),
-                pl.BlockSpec((1, 1, t2), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, 1, t2), lambda b, r: (b * q2 + r, 0, 0)),
+                pl.BlockSpec((1, t2, t2), lambda b, r: (b, 0, 0)),   # D
+                pl.BlockSpec((1, q2, t2), lambda b, r: (b, 0, 0)),   # Cm
+                pl.BlockSpec((1, q2, 1), lambda b, r: (b, 0, 0)),    # ins0
+                pl.BlockSpec((1, q2, 1), lambda b, r: (b, 0, 0)),    # insc_m
+                pl.BlockSpec((1, 1, t2), lambda b, r: (b, 0, 0)),    # dclose
             ],
-            out_specs=pl.BlockSpec((1, q2, t2), lambda b: (b, 0, 0)),
+            out_specs=pl.BlockSpec((1, 1, t2),
+                                   lambda b, r: (b * q2 + r, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((q2, t2), jnp.float32),   # lane-shifted H
+                pltpu.VMEM((q2, t2), jnp.float32),   # hrev (distance-indexed)
+                pltpu.VMEM((1, t2), jnp.float32),    # previous H row
                 pltpu.VMEM((t2, t2), jnp.float32),   # identity (MXU relayout)
             ],
         ),
@@ -185,30 +202,34 @@ def _dp_pallas_batched(S, D, CpadR, ins0, ins_close, dclose, *, q0, q1,
             flops=2 * n * (q1 - q0) * t2 * (q2 + t2),
             bytes_accessed=n * (q2 * t2 * 3 + t2 * t2) * 4,
             transcendentals=0),
-    )(S, D, CpadR, ins0, ins_close, dclose)
+    )(S_rows, D, Cm, ins0, ins_close_m, dclose)
+    return out.reshape(n, q2, t2)
 
 
 def _host_tables(c: DPCosts, q0: int, q1: int, t0: int, t1: int):
     """Exact host-precomputed cost tables (reference float32 mul-then-add),
-    identical to ops/dp_engine's preparation."""
+    identical to ops/dp_engine's preparation.  Cm and ins_close_m are
+    indexed by gap distance m (see module docstring)."""
     q2 = c.q_size
-    d = np.arange(-(q2 - 1), q2 + 1, dtype=np.int64)
-    Cpad = (c.A[None, :] + c.B[None, :]
-            * (d[:, None] - c.ins_dist_offset).astype(np.float32)
-            ).astype(np.float32)
+    m = np.arange(q2, dtype=np.int64)
+    Cm = (c.A[None, :] + c.B[None, :]
+          * (m[:, None] - c.ins_dist_offset).astype(np.float32)
+          ).astype(np.float32)
     if c.C is not None:
-        Cpad = (Cpad + c.C[None, :].astype(np.float32)).astype(np.float32)
-    Cpad[d < 2] = 0.0
+        Cm = (Cm + c.C[None, :].astype(np.float32)).astype(np.float32)
+    Cm[m < 2] = 0.0
 
     ii = np.arange(q2, dtype=np.int64)
     ins0 = c.ins_cost_of_dist(ii - q0, t0 + 1)
     if c.ins_zero_head_q and q0 == 0:
         ins0 = np.zeros_like(ins0)
-    ins_close = c.ins_cost_of_dist(q1 - ii, t1)
+    # closing-cell insertion costs in distance form: insc_m[m] =
+    # insertion(q1-m, q1, t1-1, t1)
+    insc_m = c.ins_cost_of_dist(m, t1)
     if c.ins_zero_tail_q and q1 == q2 - 1:
-        ins_close = np.zeros_like(ins_close)
+        insc_m = np.zeros_like(insc_m)
     dclose = np.ascontiguousarray(c.D[:, t1])        # D column as a lane row
-    return Cpad[::-1].copy(), ins0, ins_close, dclose
+    return Cm, ins0, insc_m, dclose
 
 
 def supported(c: DPCosts) -> bool:
@@ -230,26 +251,26 @@ def forward_h_batched(costs: list[DPCosts], local: bool = False,
         return np.stack([dp_ref.build_forward(c, q0, q1, t0, t1,
                                               local=local).H for c in costs])
 
-    S_b, D_b, Cp_b, i0_b, ic_b, dc_b = [], [], [], [], [], []
+    S_b, D_b, Cm_b, i0_b, ic_b, dc_b = [], [], [], [], [], []
     for c in costs:
-        CpadR, ins0, insc, dclose = _host_tables(c, q0, q1, t0, t1)
+        Cm, ins0, insc_m, dclose = _host_tables(c, q0, q1, t0, t1)
         S_b.append(c.S)
         D_b.append(c.D)
-        Cp_b.append(CpadR)
+        Cm_b.append(Cm)
         i0_b.append(ins0[:, None])
-        ic_b.append(insc[:, None])
+        ic_b.append(insc_m[:, None])
         dc_b.append(dclose[None, :])
 
     fn = _dp_pallas_batched
     if interpret:
         with pltpu.force_tpu_interpret_mode():
             out = fn(jnp.asarray(np.stack(S_b)), jnp.asarray(np.stack(D_b)),
-                     jnp.asarray(np.stack(Cp_b)), jnp.asarray(np.stack(i0_b)),
+                     jnp.asarray(np.stack(Cm_b)), jnp.asarray(np.stack(i0_b)),
                      jnp.asarray(np.stack(ic_b)), jnp.asarray(np.stack(dc_b)),
                      q0=q0, q1=q1, t0=t0, t1=t1, local=local)
             return np.asarray(out)
     out = fn(jnp.asarray(np.stack(S_b)), jnp.asarray(np.stack(D_b)),
-             jnp.asarray(np.stack(Cp_b)), jnp.asarray(np.stack(i0_b)),
+             jnp.asarray(np.stack(Cm_b)), jnp.asarray(np.stack(i0_b)),
              jnp.asarray(np.stack(ic_b)), jnp.asarray(np.stack(dc_b)),
              q0=q0, q1=q1, t0=t0, t1=t1, local=local)
     return np.asarray(out)
