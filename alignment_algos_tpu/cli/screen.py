@@ -201,7 +201,13 @@ def _run_profiles(args, k: int, rc=None, top=None,
         factory = lambda q, t: HMAPaliEval(params)
         kind = "template"
 
-    scores, order = screen_profiles(query, templates, factory, k=k)
+    # shard the bucket batches over the device mesh when one is available
+    # (bit-identical to single-device; parallel/screen._sharded_bucket_scores)
+    import jax
+
+    from ..parallel.screen import default_mesh
+    mesh = default_mesh() if len(jax.devices()) > 1 else None
+    scores, order = screen_profiles(query, templates, factory, k=k, mesh=mesh)
     print(f"# query profile vs {len(templates)} {kind} profiles; "
           f"top {len(order)}")
     print("# rank\tscore\tindex\tfile")

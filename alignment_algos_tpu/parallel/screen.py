@@ -172,8 +172,82 @@ def screen_grid(q_codes: np.ndarray, t_codes: np.ndarray, table: np.ndarray,
             np.asarray(ti)[:nq])
 
 
+def _sharded_bucket_scores(batch, engine: str, mesh: Mesh,
+                           local: bool = False) -> np.ndarray:
+    """Optimal global scores for one same-shape bucket of cost models,
+    sharded over the mesh's first axis with shard_map: every device runs
+    the exact engine (dp_pallas on TPU, the lax.scan engine elsewhere) on
+    its slice of the batch; the gathered scores are bit-identical to a
+    single-device run because each pair's computation is unchanged —
+    sharding only partitions the batch axis."""
+    from jax import shard_map
+
+    from ..ops import dp_engine, dp_pallas
+
+    axis = mesh.axis_names[0]
+    ndev = int(mesh.devices.size)
+    n = len(batch)
+    npad = -(-n // ndev) * ndev
+    batch_p = list(batch) + [batch[0]] * (npad - n)
+    q2, t2 = batch[0].q_size, batch[0].t_size
+    q0, t0, q1, t1 = 0, 0, q2 - 1, t2 - 1
+
+    if engine == "pallas" and dp_pallas.supported(batch[0]):
+        tabs = [dp_pallas._host_tables(c, q0, q1, t0, t1) for c in batch_p]
+        args = (np.stack([c.S for c in batch_p]),
+                np.stack([c.D for c in batch_p]),
+                np.stack([tb[0] for tb in tabs]),
+                np.stack([tb[1][:, None] for tb in tabs]),
+                np.stack([tb[2][:, None] for tb in tabs]),
+                np.stack([tb[3][None, :] for tb in tabs]))
+
+        def local_fn(S, D, Cm, i0, ic, dc):
+            H = dp_pallas._dp_pallas_batched(S, D, Cm, i0, ic, dc, q0=q0,
+                                             q1=q1, t0=t0, t1=t1, local=local)
+            return H[:, q1, t1]
+    else:
+        d = np.arange(-(q2 - 1), q2 + 1, dtype=np.int64)
+        ii = np.arange(q2, dtype=np.int64)
+        zero_head = bool(batch[0].ins_zero_head_q)
+        zero_tail = bool(batch[0].ins_zero_tail_q)
+        S_b, D_b, Cp_b, i0_b, ic_b = [], [], [], [], []
+        for c in batch_p:
+            Cpad = (c.A[None, :] + c.B[None, :]
+                    * (d[:, None] - c.ins_dist_offset).astype(np.float32)
+                    ).astype(np.float32)
+            if c.C is not None:
+                Cpad = (Cpad + c.C[None, :].astype(np.float32)
+                        ).astype(np.float32)
+            Cpad[d < 2] = 0.0
+            ins0 = c.ins_cost_of_dist(ii - q0, t0 + 1)
+            if zero_head:
+                ins0 = np.zeros_like(ins0)
+            ins_close = c.ins_cost_of_dist(q1 - ii, t1)
+            if zero_tail:
+                ins_close = np.zeros_like(ins_close)
+            S_b.append(c.S)
+            D_b.append(c.D)
+            Cp_b.append(Cpad[::-1].copy())
+            i0_b.append(ins0)
+            ic_b.append(ins_close)
+        args = tuple(np.stack(x) for x in (S_b, D_b, Cp_b, i0_b, ic_b))
+
+        def local_fn(S, D, CpadR, ins0, insc):
+            H, _, _, _, _ = dp_engine._dp_forward_batched(
+                S, D, CpadR, ins0, insc, q0=q0, q1=q1, t0=t0, t1=t1,
+                local=local, zero_head=zero_head, zero_tail=zero_tail)
+            return H[:, q1, t1]
+
+    fn = shard_map(local_fn, mesh=mesh,
+                   in_specs=tuple(P(axis) for _ in args),
+                   out_specs=P(axis))
+    with mesh:
+        scores = np.asarray(jax.jit(fn)(*(jnp.asarray(a) for a in args)))
+    return scores[:n]
+
+
 def screen_profiles(query, templates, evaluator_factory, k: int = 10,
-                    engine: str | None = None):
+                    engine: str | None = None, mesh: Mesh | None = None):
     """Exact-scoring profile screen: one HMAP query against a list of
     template profiles, with reference scoring (bit-equal to per-pair
     DPMatrix builds).  Templates are bucketed by length (the engines
@@ -184,6 +258,10 @@ def screen_profiles(query, templates, evaluator_factory, k: int = 10,
     (ops/dp_engine, traceback-capable), None = pallas on TPU (falling back
     per-bucket when a pair exceeds the kernel's VMEM capacity), xla
     elsewhere.
+
+    mesh: shard each shape bucket over the mesh's first axis (shard_map;
+    per-shard exact scoring, bit-identical to single-device).  None = one
+    device.
 
     evaluator_factory(query, templ) -> evaluator with build_costs().
     Returns (scores, order) — optimal global scores and the top-k template
@@ -205,7 +283,11 @@ def screen_profiles(query, templates, evaluator_factory, k: int = 10,
     scores = np.zeros(len(templates), dtype=np.float32)
     for shape, idxs in buckets.items():
         batch = [costs[i] for i in idxs]
-        if engine == "pallas" and dp_pallas.supported(batch[0]):
+        if mesh is not None and int(mesh.devices.size) > 1:
+            bucket_scores = _sharded_bucket_scores(batch, engine, mesh)
+            for i, sc in zip(idxs, bucket_scores):
+                scores[i] = sc
+        elif engine == "pallas" and dp_pallas.supported(batch[0]):
             bucket_scores = dp_pallas.forward_scores_batch(batch)
             for i, sc in zip(idxs, bucket_scores):
                 scores[i] = sc

@@ -183,3 +183,50 @@ def test_profiling_helpers(tmp_path):
     assert any("plugins" in r or f for r, _, f in os.walk(logdir))
     sw = profiling.Stopwatch()
     assert sw.cups(10_000) > 0 and profiling.cups(100, 0.0) == float("inf")
+
+
+def test_profile_screen_sharded_bit_equal():
+    """screen_profiles over the 8-device mesh == single-device, bitwise
+    (profile mode; shard_map partitions only the bucket batch axis)."""
+    import os
+    from alignment_algos_tpu.parallel.screen import default_mesh, \
+        screen_profiles
+    from alignment_algos_tpu.scoring.hmap_eval import HMAPaliEval
+    from alignment_algos_tpu.seq.hmap import HMAPSequence
+    from alignment_algos_tpu.utils.params import HMAPaliParams
+
+    data = os.path.join(os.path.dirname(__file__), "golden", "inputs")
+    query = HMAPSequence.from_file(os.path.join(data, "qA.prof"))
+    lib = [HMAPSequence.from_file(os.path.join(data, n))
+           for n in ("tA.prof", "tB.prof", "qB.prof")]
+    params = HMAPaliParams()
+    factory = lambda q, t: HMAPaliEval(params)
+    single_scores, single_order = screen_profiles(query, lib, factory, k=3)
+    for ndev in (2, 8):
+        mesh = default_mesh(ndev)
+        scores, order = screen_profiles(query, lib, factory, k=3, mesh=mesh)
+        np.testing.assert_array_equal(scores, single_scores)
+        np.testing.assert_array_equal(order, single_order)
+
+
+def test_smap_screen_sharded_bit_equal():
+    """Fold-recognition (Gn2Eval SMAP) screen sharded == single, bitwise."""
+    import os
+    from alignment_algos_tpu.parallel.screen import default_mesh, \
+        screen_profiles
+    from alignment_algos_tpu.scoring.gn2_eval import Gn2Eval, Gn2Params
+    from alignment_algos_tpu.seq.hmap import HMAPSequence
+    from alignment_algos_tpu.structure.smap import SMAPSequence
+
+    data = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "tests", "data")
+    query = HMAPSequence.from_file(os.path.join(data, "query30.prof"))
+    templ = SMAPSequence.from_file(os.path.join(data, "templ_smap.prof"),
+                                   gn2=True)
+    lib = [templ, templ, templ]  # same-shape bucket of 3, sharded over 2
+    params = Gn2Params()
+    factory = lambda q, t: Gn2Eval(params)
+    single_scores, _ = screen_profiles(query, lib, factory, k=3)
+    mesh = default_mesh(2)
+    scores, _ = screen_profiles(query, lib, factory, k=3, mesh=mesh)
+    np.testing.assert_array_equal(scores, single_scores)
