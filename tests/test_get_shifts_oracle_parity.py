@@ -75,3 +75,53 @@ def test_get_shifts_tables_byte_equal(fixtures):
     assert ours.returncode == 0, ours.stderr[-2000:]
     assert "Running statistics" in ref.stdout and "[C]" in ref.stdout
     assert ours.stdout == ref.stdout
+
+
+@pytest.fixture(scope="module")
+def fixtures_real(tmp_path_factory):
+    """Realistic-scale inputs (VERDICT r2 item 5): a PIR batch from our gn2
+    CLI at HMAPRC production parameters on the 222-res fixture, measured
+    against the optimal Hmap2 alignment as native."""
+    tmp = tmp_path_factory.mktemp("gs_real")
+    env = dict(os.environ)
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    qfn = os.path.join(DATA, "query_real.prof")
+    tfn = os.path.join(DATA, "templ_real.prof")
+    r = subprocess.run(
+        [sys.executable, "-m", "alignment_algos_tpu.cli.gn2", qfn, tfn,
+         "-crcw", "--NUM_SUBOPT", "1000", "--DELTA_RATIO", "0.20",
+         "--MAX_OVERLAP", "0.05", "--FINAL_OVERLAP", "0.30",
+         "--ALIGN_MODE", "4", "--OUTPUT_FORMAT", "1"],
+        capture_output=True, text=True, env=env, cwd=ROOT, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    txt = r.stdout
+    pir = tmp / "batch.pir"
+    pir.write_text(txt[txt.index("#start"):txt.rindex("#end") + 4] + "\n")
+
+    from alignment_algos_tpu.io.pir import read_pir
+    from alignment_algos_tpu.seq.hmap import HMAPSequence
+    q_seq = HMAPSequence.from_file(qfn).get_string()[1:-1]
+    t_seq = HMAPSequence.from_file(tfn).get_string()[1:-1]
+    with open(pir) as f:
+        first = read_pir(f)
+    t_str = first.get_templ_string(f"^{t_seq}$")[1:-1]
+    q_str = first.get_query_string(f"^{q_seq}$")[1:-1]
+    nat = tmp / "native.fa"
+    nat.write_text(f"> t\n{t_str}\n> q\n{q_str}\n\n")
+    return str(pir), str(nat)
+
+
+def test_get_shifts_tables_byte_equal_real_scale(fixtures_real):
+    pir, nat = fixtures_real
+    ref = subprocess.run([ORACLE, pir, nat],
+                         capture_output=True, text=True, timeout=120)
+    assert ref.returncode == 0, ref.stderr[-1000:]
+    env = dict(os.environ)
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    ours = subprocess.run(
+        [sys.executable, "-m", "alignment_algos_tpu.cli.get_shifts",
+         pir, nat],
+        capture_output=True, text=True, env=env, cwd=ROOT, timeout=300)
+    assert ours.returncode == 0, ours.stderr[-2000:]
+    assert "Running statistics" in ref.stdout and "[C]" in ref.stdout
+    assert ours.stdout == ref.stdout
