@@ -71,6 +71,7 @@ class AliDist:
         self.templ_length = 0
         self.query_length = 0
         self.batch_dists: list[list[float]] = []
+        self._main_arr = None  # cached (t, q) float32 arrays (native path)
 
     # ---- loading ------------------------------------------------------
     def load_main_fasta(self, fn: str) -> None:
@@ -95,11 +96,13 @@ class AliDist:
         self.templ_length = _seq_length_str(templ)
         self.query_length = _seq_length_str(query)
         self.main_ali = strings_to_vrp(templ, query)
+        self._main_arr = None
 
     def load_main_vrp(self, vrp: list[ResPair]) -> None:
         self.main_ali = list(vrp)
         self.templ_length = int(vrp[-1].t) - 1
         self.query_length = int(vrp[-1].q) - 1
+        self._main_arr = None
 
     def load_test_vrp(self, vrp: list[ResPair]) -> None:
         self.test_ali = list(vrp)
@@ -218,6 +221,32 @@ class AliDist:
 
     # ---- public API ---------------------------------------------------
     def get_area_between_main_and_test(self) -> float:
+        # native engine fast path (bit-identical float32 op order): SSSS
+        # tracking mode measures every culled skeleton — 500k+ calls on
+        # realistic fixtures, 80%+ of tracking wall time in pure Python
+        lib = _load_native()
+        if lib is not None:
+            import ctypes
+            if getattr(self, "_main_arr", None) is None:
+                self._main_arr = (
+                    np.asarray([p.t for p in self.main_ali], np.float32),
+                    np.asarray([p.q for p in self.main_ali], np.float32))
+            mt, mq = self._main_arr
+            ts = np.asarray([p.t for p in self.test_ali], np.float32)
+            qs = np.asarray([p.q for p in self.test_ali], np.float32)
+            offs = np.array([0, len(ts)], np.int64)
+            out = np.zeros(1, np.float32)
+            rc = lib.ali_area_one_to_many(
+                mt.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                mq.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                ctypes.c_long(len(mt)),
+                ts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                qs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.c_long(1),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            if rc == 0:
+                return float(out[0])
         main_tmp = [ResPair(p.t, p.q, p.rel_pos) for p in self.main_ali]
         for p in main_tmp:
             p.rel_pos = self._relative_position(p.t, p.q, self.test_ali)
