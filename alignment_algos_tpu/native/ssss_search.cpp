@@ -1,12 +1,14 @@
 // Native SSSS phase-2 engine: skeleton DFS + constrained-regrowth
-// duplicate suppression + coverage/contact-order/strand filters.
+// duplicate suppression + coverage/contact-order/strand filters, with
+// optional tracking mode (every culled skeleton measured against the
+// native alignment — skel_set.cpp:501-531 — via the alidist area engine,
+// kept in four shift-ranked lists capped at 100).
 //
 // Exact translation of ssss/skel_set.py + skel_ali.py (themselves byte-
 // parity-validated against the reference's Skel_Set/Skel_Ali,
-// skel_set.cpp:110-477 / skel_ali.cpp:92-198), for the non-tracking path.
-// Float32 score accumulation replicates the Python/NumPy op order
-// (compile with -ffp-contract=off).  The Python engine remains the
-// tracking-mode implementation and the fallback.
+// skel_set.cpp:110-477 / skel_ali.cpp:92-198).  Float32 score
+// accumulation replicates the Python/NumPy op order (compile with
+// -ffp-contract=off).  The Python engine remains the fallback.
 //
 // The fragment graph is passed as flat arrays: frags (geometry + score +
 // flags) and a global connection table with per-frag [start,end) ranges.
@@ -16,6 +18,12 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+
+// from alidist.cpp (compiled into the same shared object)
+extern "C" long ali_area_one_to_many(const float* mt, const float* mq,
+                                     long mn, const float* ts,
+                                     const float* qs, const int64_t* offs,
+                                     long k, float* out);
 
 namespace {
 
@@ -47,6 +55,12 @@ struct Graph {
   const int32_t* nmc_data;  // 3 * n_nmc
   long n_nmc;
   int bug_compat;
+  // tracking mode (skel_set.py _handle_culled_skel_ali)
+  int tracking;
+  const float* main_t;      // native-alignment polyline
+  const float* main_q;
+  long main_len;
+  float main_templ_len;     // measurer.templ_length (shift denominator)
 };
 
 struct Skel {
@@ -60,6 +74,12 @@ struct Skel {
   int last_frag(const Graph& g) const { return g.c_next[conns.back()]; }
 };
 
+struct Cull {
+  float shift;
+  float sse_co;                   // value at cull time (0 if never calc'd)
+  std::vector<int32_t> conns;
+};
+
 struct Search {
   const Graph& g;
   std::vector<Skel> top;          // ranked, capped at max_alis
@@ -67,6 +87,8 @@ struct Search {
   Skel best_constrained;
   bool have_constrained = false;
   bool error = false;
+  std::vector<Cull> culls[4];     // by reason-1; shift-ascending, cap 100
+  long num_culled[4] = {0, 0, 0, 0};
 
   explicit Search(const Graph& gg) : g(gg) {}
 
@@ -164,17 +186,47 @@ struct Search {
     return true;
   }
 
-  // returns pass flag (reason unused in non-tracking mode)
-  bool passes_all_filters(Skel& s) const {
-    if (s.num_aligned < g.min_aligned) return false;
-    if ((double)s.sse_co < g.min_sse_co) return false;
+  // returns 0 on pass, else the cull reason (1 coverage, 2 SSE_CO,
+  // 3 strand rules)
+  int filter_reason(Skel& s) const {
+    if (s.num_aligned < g.min_aligned) return 1;
+    if ((double)s.sse_co < g.min_sse_co) return 2;
     bool passes = strand_rules_pass(s);
     if (g.bug_compat) {
-      if (passes) return false;  // skel_set.cpp:442 sense inversion
+      if (passes) return 3;  // skel_set.cpp:442 sense inversion
     } else {
-      if (!passes) return false;
+      if (!passes) return 3;
     }
-    return true;
+    return 0;
+  }
+
+  // ---- tracking (skel_set.py _handle_culled_skel_ali) -----------------
+  void handle_culled(const Skel& s, int reason) {
+    // export_vrp: two points per connection, q = t + qt_shift
+    size_t n = s.conns.size() * 2;
+    std::vector<float> ts(n), qs(n);
+    for (size_t i = 0; i < s.conns.size(); i++) {
+      int32_t cid = s.conns[i];
+      int pf = g.c_prev[cid], nf = g.c_next[cid];
+      ts[2 * i] = (float)g.c_pend[cid];
+      qs[2 * i] = (float)(g.c_pend[cid] + g.f_qt[pf]);
+      ts[2 * i + 1] = (float)g.c_nbeg[cid];
+      qs[2 * i + 1] = (float)(g.c_nbeg[cid] + g.f_qt[nf]);
+    }
+    int64_t offs[2] = {0, (int64_t)n};
+    float area = 0.0f;
+    if (ali_area_one_to_many(g.main_t, g.main_q, g.main_len, ts.data(),
+                             qs.data(), offs, 1, &area) != 0) {
+      error = true;
+      return;
+    }
+    float shift = area / g.main_templ_len;
+    std::vector<Cull>& lst = culls[reason - 1];
+    size_t pos = lst.size();
+    while (pos > 0 && lst[pos - 1].shift > shift) pos--;
+    lst.insert(lst.begin() + pos, Cull{shift, s.sse_co, s.conns});
+    if (lst.size() > 100) lst.pop_back();  // max_bad_alis
+    num_culled[reason - 1]++;
   }
 
   void calc_sse_co(Skel& s) const {
@@ -185,7 +237,17 @@ struct Search {
   void grow(Skel& s) {
     if (error) return;
     int last = s.last_frag(g);
-    if (s.num_aligned + g.tsr_to_c[g.f_ct1[last]] < g.min_aligned) return;
+    if (s.num_aligned + g.tsr_to_c[g.f_ct1[last]] < g.min_aligned) {
+      // _pre_empt_low_coverage
+      if (g.tracking && s.num_aligned > 0.75 * (double)g.min_aligned) {
+        if (!g.f_cterm[last]) {
+          // cap off with the frag's last connection (the C-cap)
+          add_connection(s, (int32_t)(g.conn_off[last + 1] - 1));
+        }
+        handle_culled(s, 1);
+      }
+      return;
+    }
     if (g.f_cterm[last]) {
       handle_completed(s);
       return;
@@ -199,7 +261,11 @@ struct Search {
 
   void handle_completed(Skel& s) {
     calc_sse_co(s);
-    if (!passes_all_filters(s)) return;
+    int reason = filter_reason(s);
+    if (reason != 0) {
+      if (g.tracking) handle_culled(s, reason);
+      return;
+    }
     find_top_constrained(s);
     if (error) return;
     // keep only if s IS the best constrained completion of itself
@@ -216,7 +282,10 @@ struct Search {
     size_t pos = top.size();
     while (pos > 0 && top[pos - 1].score < s.score) pos--;
     top.insert(top.begin() + pos, s);
-    if ((long)top.size() > g.max_alis) top.pop_back();
+    if ((long)top.size() > g.max_alis) {
+      if (g.tracking) handle_culled(top.back(), 4);
+      top.pop_back();
+    }
   }
 
   // ---- constrained regrowth (skel_set.py:118-179) ---------------------
@@ -284,7 +353,7 @@ struct Search {
 
   void handle_completed_constrained(Skel& sa) {
     calc_sse_co(sa);
-    if (!passes_all_filters(sa)) return;
+    if (filter_reason(sa) != 0) return;
     if (!have_constrained || sa.score > best_constrained.score) {
       best_constrained = sa;
       have_constrained = true;
@@ -301,6 +370,13 @@ extern "C" {
 //   out_conns: concatenated connection-id sequences
 //   out_lens:  per-skeleton sequence length (max_alis entries)
 // Caller provides out_conns sized max_alis * max_conns_per_skel.
+//
+// Tracking mode (tracking != 0): main_t/main_q/main_len is the native
+// alignment polyline, main_templ_len the shift denominator.  Culled
+// skeletons come back in the out_cull_* buffers (4 reasons x up to 100
+// entries, shift-ascending): conns (4*100*max_conns_per_skel), lens /
+// shifts / sse_cos (4*100), counts (4, kept-list sizes) and totals
+// (4, all culls measured).
 long ssss_find_top_skels(
     const int32_t* f_sse, const int32_t* f_fid, const int32_t* f_ct0,
     const int32_t* f_ct1, const int32_t* f_qt, const float* f_score,
@@ -311,11 +387,16 @@ long ssss_find_top_skels(
     long min_aligned, double min_sse_co, long max_alis,
     const int32_t* asp_data, const int64_t* asp_off, long n_asp,
     const int32_t* nmc_data, long n_nmc, int bug_compat,
-    int32_t* out_conns, int32_t* out_lens, long max_conns_per_skel) {
+    int tracking, const float* main_t, const float* main_q, long main_len,
+    double main_templ_len,
+    int32_t* out_conns, int32_t* out_lens, long max_conns_per_skel,
+    int32_t* out_cull_conns, int32_t* out_cull_lens, float* out_cull_shifts,
+    float* out_cull_cos, int64_t* out_cull_counts, int64_t* out_cull_totals) {
   Graph g{f_sse, f_fid, f_ct0, f_ct1, f_qt, f_score, f_cterm, conn_off,
           c_prev, c_next, c_pend, c_nbeg, c_score, contacts, tsr_to_c,
           templ_len, min_aligned, min_sse_co, max_alis,
-          asp_data, asp_off, n_asp, nmc_data, n_nmc, bug_compat};
+          asp_data, asp_off, n_asp, nmc_data, n_nmc, bug_compat,
+          tracking, main_t, main_q, main_len, (float)main_templ_len};
   (void)nf;
   (void)nc;
   Search srch(g);
@@ -333,6 +414,23 @@ long ssss_find_top_skels(
     out_lens[i] = (int32_t)s.conns.size();
     std::memcpy(out_conns + i * max_conns_per_skel, s.conns.data(),
                 s.conns.size() * sizeof(int32_t));
+  }
+  if (tracking) {
+    for (int r = 0; r < 4; r++) {
+      const std::vector<Cull>& lst = srch.culls[r];
+      out_cull_counts[r] = (int64_t)lst.size();
+      out_cull_totals[r] = srch.num_culled[r];
+      for (size_t i = 0; i < lst.size(); i++) {
+        long row = r * 100 + (long)i;
+        if ((long)lst[i].conns.size() > max_conns_per_skel) return -1;
+        out_cull_lens[row] = (int32_t)lst[i].conns.size();
+        out_cull_shifts[row] = lst[i].shift;
+        out_cull_cos[row] = lst[i].sse_co;
+        std::memcpy(out_cull_conns + row * max_conns_per_skel,
+                    lst[i].conns.data(),
+                    lst[i].conns.size() * sizeof(int32_t));
+      }
+    }
   }
   return n;
 }

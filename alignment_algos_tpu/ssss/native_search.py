@@ -1,7 +1,9 @@
 """ctypes bridge to the native SSSS phase-2 engine
 (native/ssss_search.cpp): skeleton DFS + constrained-regrowth dedup +
-filters, for the non-tracking path.  Falls back to the Python SkelSet
-search on any error; AAT_SSSS_BACKEND=python forces the fallback."""
+filters, including tracking mode (culled-skeleton measurement against the
+native alignment via the alidist area engine compiled into the same
+shared object).  Falls back to the Python SkelSet search on any error;
+AAT_SSSS_BACKEND=python forces the fallback."""
 
 from __future__ import annotations
 
@@ -17,6 +19,7 @@ from .skel_ali import SkelAli
 _DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "native")
 _SRC = os.path.join(_DIR, "ssss_search.cpp")
+_ALIDIST_SRC = os.path.join(_DIR, "alidist.cpp")
 _SO = os.path.join(_DIR, "_ssss_search.so")
 
 _lib = None
@@ -29,10 +32,11 @@ def _load():
         return _lib
     _tried = True
     if (not os.path.exists(_SO)
-            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+            or os.path.getmtime(_SO) < os.path.getmtime(_ALIDIST_SRC)):
         try:
             subprocess.run(["c++", "-O2", "-ffp-contract=off", "-shared",
-                            "-fPIC", "-o", _SO, _SRC],
+                            "-fPIC", "-o", _SO, _SRC, _ALIDIST_SRC],
                            check=True, capture_output=True)
         except (OSError, subprocess.CalledProcessError):
             return None
@@ -54,10 +58,9 @@ def _ptr(a, typ):
 
 
 def find_top_skeletons_native(builder) -> bool:
-    """Fill builder.Top_Skels via the C++ engine.  Returns False when the
-    native path is unavailable/ineligible (caller runs the Python search)."""
-    if builder.tracking_mode:
-        return False
+    """Fill builder.Top_Skels (and, in tracking mode, the four culled-
+    skeleton lists) via the C++ engine.  Returns False when the native
+    path is unavailable (caller runs the Python search)."""
     if os.environ.get("AAT_SSSS_BACKEND", "auto") == "python":
         return False
     lib = _load()
@@ -117,6 +120,23 @@ def find_top_skeletons_native(builder) -> bool:
     out_conns = np.zeros((builder.max_alis, max_conns), dtype=np.int32)
     out_lens = np.zeros(builder.max_alis, dtype=np.int32)
 
+    tracking = 1 if builder.tracking_mode else 0
+    if tracking:
+        m = builder.Measurer
+        main_t = np.asarray([p.t for p in m.main_ali], dtype=np.float32)
+        main_q = np.asarray([p.q for p in m.main_ali], dtype=np.float32)
+        main_templ_len = float(m.templ_length)
+    else:
+        main_t = np.zeros(1, dtype=np.float32)
+        main_q = np.zeros(1, dtype=np.float32)
+        main_templ_len = 1.0
+    cull_conns = np.zeros((4 * 100, max_conns), dtype=np.int32)
+    cull_lens = np.zeros(4 * 100, dtype=np.int32)
+    cull_shifts = np.zeros(4 * 100, dtype=np.float32)
+    cull_cos = np.zeros(4 * 100, dtype=np.float32)
+    cull_counts = np.zeros(4, dtype=np.int64)
+    cull_totals = np.zeros(4, dtype=np.int64)
+
     n = lib.ssss_find_top_skels(
         _ptr(f_sse, ctypes.c_int32), _ptr(f_fid, ctypes.c_int32),
         _ptr(f_ct0, ctypes.c_int32), _ptr(f_ct1, ctypes.c_int32),
@@ -136,25 +156,49 @@ def find_top_skeletons_native(builder) -> bool:
         ctypes.c_long(len(asp_rows)),
         _ptr(nmc_data, ctypes.c_int32), ctypes.c_long(len(nmc)),
         ctypes.c_int(1 if builder.strand_rule_bug_compat else 0),
+        ctypes.c_int(tracking),
+        _ptr(main_t, ctypes.c_float), _ptr(main_q, ctypes.c_float),
+        ctypes.c_long(len(main_t)), ctypes.c_double(main_templ_len),
         _ptr(out_conns, ctypes.c_int32), _ptr(out_lens, ctypes.c_int32),
-        ctypes.c_long(max_conns))
+        ctypes.c_long(max_conns),
+        _ptr(cull_conns, ctypes.c_int32), _ptr(cull_lens, ctypes.c_int32),
+        _ptr(cull_shifts, ctypes.c_float), _ptr(cull_cos, ctypes.c_float),
+        _ptr(cull_counts, ctypes.c_int64), _ptr(cull_totals, ctypes.c_int64))
     if n < 0:
         return False
+
+    def replay(ids):
+        fcs = [conn_objs[int(j)] for j in ids]
+        sa = SkelAli(builder.Str, builder.Frags, fcs[0], 0)
+        for fc in fcs[1:]:
+            sa.add_connection(fc)
+        return sa
 
     # rebuild SkelAli objects by replaying the connection sequences (the
     # replay recomputes score/coverage/contacts identically)
     tops = []
     for i in range(n):
-        ids = out_conns[i, : out_lens[i]]
-        fcs = [conn_objs[int(j)] for j in ids]
-        sa = SkelAli(builder.Str, builder.Frags, fcs[0], 0)
-        for fc in fcs[1:]:
-            sa.add_connection(fc)
+        sa = replay(out_conns[i, : out_lens[i]])
         sa.calc_skel_SSE_CO()
         sa.param = sa.get_score()
         tops.append(sa)
     builder.Top_Skels = tops
+
+    if tracking:
+        lists = (builder.Low_Coverage, builder.Low_SSE_CO,
+                 builder.Bad_Strands, builder.Low_Score)
+        for r, lst in enumerate(lists):
+            lst.clear()
+            for i in range(int(cull_counts[r])):
+                row = r * 100 + i
+                sa = replay(cull_conns[row, : cull_lens[row]])
+                sa.shift = float(cull_shifts[row])
+                sa.param = sa.shift
+                sa.SSE_CO = float(cull_cos[row])
+                lst.append(sa)
+    counts = cull_totals if tracking else [0, 0, 0, 0]
     for reason, label in ((1, "coverage"), (2, "contact order"),
                           (3, "strand rules"), (4, "score")):
-        print(f"Num culled by {label}: 0", file=sys.stderr)
+        print(f"Num culled by {label}: {int(counts[reason - 1])}",
+              file=sys.stderr)
     return True
