@@ -332,22 +332,12 @@ def _load_native():
         return _native_lib
     _native_tried = True
     import ctypes
-    import subprocess
+    from ..native import build_native
     d = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "native")
     src = os.path.join(d, "alidist.cpp")
-    so = os.path.join(d, "_alidist.so")
-    if (not os.path.exists(so)
-            or os.path.getmtime(so) < os.path.getmtime(src)):
-        try:
-            subprocess.run(["c++", "-O2", "-ffp-contract=off", "-shared",
-                            "-fPIC", "-o", so, src],
-                           check=True, capture_output=True)
-        except (OSError, subprocess.CalledProcessError):
-            return None
-    try:
-        lib = ctypes.CDLL(so)
-    except OSError:
+    lib = build_native("alidist", [src])
+    if lib is None:
         return None
     lib.ali_area_matrix.restype = ctypes.c_long
     lib.ali_area_one_to_many.restype = ctypes.c_long

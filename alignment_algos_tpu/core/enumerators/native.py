@@ -10,16 +10,15 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 
 import numpy as np
 
+from ...native import build_native
 from ..alignment import Alignment
 
 _DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
 _SRC = os.path.join(_DIR, "enumerate.cpp")
-_SO = os.path.join(_DIR, "_enumerate.so")
 
 MODES = {"cw": 0, "ucw": 1, "kscw": 2, "crcw": 3}
 
@@ -43,15 +42,9 @@ def load() -> ctypes.CDLL | None:
     global _lib
     if _lib is not None:
         return _lib
-    if (not os.path.exists(_SO)
-            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-        try:
-            subprocess.run(["c++", "-O2", "-ffp-contract=off", "-shared",
-                            "-fPIC", "-o", _SO, _SRC],
-                           check=True, capture_output=True)
-        except (OSError, subprocess.CalledProcessError):
-            return None
-    lib = ctypes.CDLL(_SO)
+    lib = build_native("enumerate", [_SRC])
+    if lib is None:
+        return None
     lib.enumerate_tracebacks.restype = ctypes.POINTER(_Result)
     lib.enumerate_tracebacks.argtypes = [
         ctypes.c_int, ctypes.c_int, ctypes.c_int,

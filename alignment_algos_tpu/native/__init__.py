@@ -1,21 +1,70 @@
-"""Native helpers: libm-exact elementwise math (see exactmath.c).
+"""Native helpers: the shared build_native() loader for the host-runtime
+C/C++ engines, plus libm-exact elementwise math (see exactmath.c).
 
-The shared object is built on first use with the system compiler and cached
-next to the source.  Falls back to numpy (1-ulp differences possible) when
-no compiler is available.
+Shared objects are built on first use with the system compiler and cached
+next to the sources under a CONTENT-HASHED name (`_<name>-<sha1[:12]>.so`).
+Hashing the sources + flags into the file name makes staleness detection
+exact: a leftover .so built from older sources can never be picked up (a
+round-3 lesson — mtime comparisons are useless after `git checkout`, which
+stamps every file with the same time, and a stale engine once shipped a
+segfault).  Callers fall back to their Python/numpy paths when no compiler
+is available.
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
+import tempfile
 
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "exactmath.c")
-_SO = os.path.join(_DIR, "_exactmath.so")
+
+
+def build_native(name: str, srcs: list[str], flags: tuple = (),
+                 libs: tuple = (), compiler: str | None = None):
+    """Compile srcs into a content-hash-named .so and dlopen it.
+
+    Returns the ctypes.CDLL, or None when the compiler is missing or the
+    build fails (callers use their Python fallbacks).  The build is atomic
+    (tmp + rename) so concurrent test processes can race safely, and the
+    hash covers source bytes + flags so any edit forces a rebuild."""
+    flags = tuple(flags) or ("-O2", "-ffp-contract=off")
+    h = hashlib.sha1()
+    try:
+        for s in srcs:
+            with open(s, "rb") as f:
+                h.update(f.read())
+    except OSError:
+        return None
+    h.update(" ".join(flags + tuple(libs)).encode())
+    tag = h.hexdigest()[:12]
+    cc = compiler or ("cc" if all(s.endswith(".c") for s in srcs) else "c++")
+    for outdir in (_DIR, tempfile.gettempdir()):
+        so = os.path.join(outdir, f"_{name}-{tag}.so")
+        if not os.path.exists(so):
+            tmp = f"{so}.tmp.{os.getpid()}"
+            try:
+                subprocess.run(
+                    [cc, *flags, "-shared", "-fPIC", "-o", tmp, *srcs, *libs],
+                    check=True, capture_output=True)
+                os.replace(tmp, so)
+            except (OSError, subprocess.CalledProcessError):
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+                continue
+        try:
+            return ctypes.CDLL(so)
+        except OSError:
+            continue
+    return None
+
 
 _lib = None
 _tried = False
@@ -26,16 +75,8 @@ def _load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-        try:
-            subprocess.run(["cc", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC,
-                            "-lm"], check=True, capture_output=True)
-        except (OSError, subprocess.CalledProcessError):
-            return None
-    try:
-        _lib = ctypes.CDLL(_SO)
-    except OSError:
-        _lib = None
+    _lib = build_native("exactmath", [_SRC], flags=("-O2",), libs=("-lm",),
+                        compiler="cc")
     return _lib
 
 

@@ -80,22 +80,12 @@ def _load_native():
         return _nlib
     _ntried = True
     import ctypes
-    import subprocess
     d = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "native")
     src = os.path.join(d, "dpref.cpp")
-    so = os.path.join(d, "_dpref.so")
-    if (not os.path.exists(so)
-            or os.path.getmtime(so) < os.path.getmtime(src)):
-        try:
-            subprocess.run(["c++", "-O2", "-ffp-contract=off", "-shared",
-                            "-fPIC", "-o", so, src],
-                           check=True, capture_output=True)
-        except (OSError, subprocess.CalledProcessError):
-            return None
-    try:
-        lib = ctypes.CDLL(so)
-    except OSError:
+    from ..native import build_native
+    lib = build_native("dpref", [src])
+    if lib is None:
         return None
     lib.dpref_build_forward.restype = ctypes.c_long
     lib.dpref_build_reverse.restype = ctypes.c_long

@@ -9,18 +9,17 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import sys
 
 import numpy as np
 
+from ..native import build_native
 from .skel_ali import SkelAli
 
 _DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "native")
 _SRC = os.path.join(_DIR, "ssss_search.cpp")
 _ALIDIST_SRC = os.path.join(_DIR, "alidist.cpp")
-_SO = os.path.join(_DIR, "_ssss_search.so")
 
 _lib = None
 _tried = False
@@ -31,18 +30,8 @@ def _load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if (not os.path.exists(_SO)
-            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)
-            or os.path.getmtime(_SO) < os.path.getmtime(_ALIDIST_SRC)):
-        try:
-            subprocess.run(["c++", "-O2", "-ffp-contract=off", "-shared",
-                            "-fPIC", "-o", _SO, _SRC, _ALIDIST_SRC],
-                           check=True, capture_output=True)
-        except (OSError, subprocess.CalledProcessError):
-            return None
-    try:
-        lib = ctypes.CDLL(_SO)
-    except OSError:
+    lib = build_native("ssss_search", [_SRC, _ALIDIST_SRC])
+    if lib is None:
         return None
     lib.ssss_find_top_skels.restype = ctypes.c_long
     _lib = lib
