@@ -422,8 +422,13 @@ def decode_local_tracebacks(tb: np.ndarray, m: np.ndarray, dat: np.ndarray,
     j = (bd - bi).astype(np.int64)
     state = np.zeros(b, np.int8)       # 0 = H, 1 = E, 2 = F
     alive = scores > 0.0
-    rev_pairs: list[list[tuple[int, int]]] = [[] for _ in range(b)]
-    for _ in range(q + t + 2):
+    # matched (i, j) per (step, lane), -1 where no match: the per-lane
+    # paths are mask-extracted afterwards instead of appended in the loop
+    # (the per-step per-lane python appends dominated large decodes)
+    max_steps = q + t + 2
+    rec_i = np.full((max_steps, b), -1, np.int32)
+    rec_j = np.full((max_steps, b), -1, np.int32)
+    for step in range(max_steps):
         if not alive.any():
             break
         inb = alive & (i >= 0) & (j >= 0)
@@ -438,8 +443,8 @@ def decode_local_tracebacks(tb: np.ndarray, m: np.ndarray, dat: np.ndarray,
         stop = in_h & (hb == 0)
         alive = alive & ~stop
         match = alive & (state == 0) & (hb == 1)
-        for lane in np.where(match)[0]:
-            rev_pairs[lane].append((int(i[lane]), int(j[lane])))
+        rec_i[step, match] = i[match]
+        rec_j[step, match] = j[match]
         to_e = alive & (state == 0) & (hb == 2)
         to_f = alive & (state == 0) & (hb == 3)
         state = np.where(to_e, 1, np.where(to_f, 2, state)).astype(np.int8)
@@ -455,7 +460,12 @@ def decode_local_tracebacks(tb: np.ndarray, m: np.ndarray, dat: np.ndarray,
         state = np.where(in_e & ~e_ext, 0, state).astype(np.int8)
         i = np.where(in_f, i - 1, i)
         state = np.where(in_f & ~f_ext, 0, state).astype(np.int8)
-    paths = [list(reversed(p)) for p in rev_pairs]
+    paths = []
+    for lane in range(b):
+        msk = rec_i[:, lane] >= 0
+        pi = rec_i[msk, lane][::-1]
+        pj = rec_j[msk, lane][::-1]
+        paths.append(list(zip(pi.tolist(), pj.tolist())))
     return scores, paths
 
 

@@ -47,7 +47,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _sw_strip_kernel(gap_ref, sd_ref, out_ref, hm1, hm2, e, f, m, bh, bf,
-                     sth, stf, *, q: int, t: int, sp: int, kd: int, uf: int):
+                     sth, stf, *, q: int, t: int, sp: int, kd: int, uf: int,
+                     qd_layout: bool = False):
     s_idx = pl.program_id(0)
     blk = pl.program_id(1)
     ns = pl.num_programs(0)
@@ -79,9 +80,8 @@ def _sw_strip_kernel(gap_ref, sd_ref, out_ref, hm1, hm2, e, f, m, bh, bf,
     hb_blk = bh[pl.ds(base, kd + 8)]
     fb_blk = bf[pl.ds(base, kd + 8)]
 
-    def one_diag(dl, s, h1, h2, eo, fo, hb_dl, hb_dlm1, fb_dl):
-        jj = dl - ii
-        valid = (ii < qv) & (jj.astype(jnp.uint32) < t_u32)
+    def one_diag(dl, s, h1, h2, eo, fo, hb_dl, hb_dlm1, fb_dl,
+                 masked: bool):
         open_ = h1 - gi
         e_new = jnp.maximum(eo - ge, open_)
         f_new = pltpu.roll(jnp.maximum(fo - ge, open_), 1, axis=0)
@@ -90,33 +90,55 @@ def _sw_strip_kernel(gap_ref, sd_ref, out_ref, hm1, hm2, e, f, m, bh, bf,
         diag = jnp.where(ii == 0, hb_dlm1, pltpu.roll(h2, 1, axis=0))
         h_new = jnp.maximum(jnp.maximum(diag + s, jnp.float32(0.0)),
                             jnp.maximum(e_new, f_new))
-        h_new = jnp.where(valid, h_new, jnp.float32(0.0))
+        if masked:
+            jj = dl - ii
+            valid = (ii < qv) & (jj.astype(jnp.uint32) < t_u32)
+            h_new = jnp.where(valid, h_new, jnp.float32(0.0))
         return h_new, e_new, f_new
 
     # statically unrolled (python loop): the boundary-row extracts and the
     # staging stores need literal sublane indices
-    for k in range(kd // uf):
-        h1 = hm1[:]
-        h2 = hm2[:]
-        ee = e[:]
-        ff = f[:]
-        mloc = None
-        for u in range(uf):
-            du = uf * k + u
-            s = sd_ref[0, du].astype(jnp.float32)
-            h_new, ee, ff = one_diag(
-                blk * kd + du, s, h1, h2, ee, ff,
-                hb_blk[du + 7:du + 8], hb_blk[du + 6:du + 7],
-                fb_blk[du + 7:du + 8])
-            sth[pl.ds(du, 1)] = h_new[sp - 1:sp]
-            stf[pl.ds(du, 1)] = ff[sp - 1:sp]
-            h2, h1 = h1, h_new
-            mloc = h_new if mloc is None else jnp.maximum(mloc, h_new)
-        m[:] = jnp.maximum(m[:], mloc)
-        hm2[:] = h2
-        hm1[:] = h1
-        e[:] = ee
-        f[:] = ff
+    def run_block(masked: bool):
+        for k in range(kd // uf):
+            h1 = hm1[:]
+            h2 = hm2[:]
+            ee = e[:]
+            ff = f[:]
+            mloc = None
+            for u in range(uf):
+                du = uf * k + u
+                if qd_layout:
+                    s = sd_ref[0, :, du, :].astype(jnp.float32)
+                else:
+                    s = sd_ref[0, du].astype(jnp.float32)
+                h_new, ee, ff = one_diag(
+                    blk * kd + du, s, h1, h2, ee, ff,
+                    hb_blk[du + 7:du + 8], hb_blk[du + 6:du + 7],
+                    fb_blk[du + 7:du + 8], masked)
+                sth[pl.ds(du, 1)] = h_new[sp - 1:sp]
+                stf[pl.ds(du, 1)] = ff[sp - 1:sp]
+                h2, h1 = h1, h_new
+                mloc = h_new if mloc is None else jnp.maximum(mloc, h_new)
+            m[:] = jnp.maximum(m[:], mloc)
+            hm2[:] = h2
+            hm1[:] = h1
+            e[:] = ee
+            f[:] = ff
+
+    # a block of diagonals is "interior" when every row of every diagonal
+    # is in the valid band — then the mask (and its zeroing select) is an
+    # identity and a maskless body runs instead (~78% of blocks at S=64,
+    # T=512)
+    interior = ((blk * kd >= sp - 1) & ((blk + 1) * kd - 1 <= t - 1)
+                & (qv >= sp))
+
+    @pl.when(interior)
+    def _():
+        run_block(False)
+
+    @pl.when(jnp.logical_not(interior))
+    def _():
+        run_block(True)
 
     # publish this strip's last-row H/F for the next strip; the kd-aligned
     # offset keeps the store provably 8-aligned, and reads (at +sp-8) stay
@@ -129,23 +151,20 @@ def _sw_strip_kernel(gap_ref, sd_ref, out_ref, hm1, hm2, e, f, m, bh, bf,
         out_ref[0] = jnp.max(m[:], axis=0)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("q", "t", "strip", "kd", "uf"))
-def sw_affine_scores_striped(sd: jax.Array, gap: jax.Array, *, q: int,
-                             t: int, strip: int = 64, kd: int = 16,
-                             uf: int = 4) -> jax.Array:
-    """sd: (NS, DSp, Sp, B) strip-skewed similarity from
-    :func:`strip_skewed_similarity_from_codes`; gap: (1, 2) [gi, ge].
-    Returns (B,) local alignment scores, bit-identical to
-    swaffine.sw_affine_scores_from_skewed / sw_affine_scores_xla."""
-    ns, dsp, sp, b = sd.shape
+def _striped_call(sd, gap, *, q, t, strip, kd, uf, qd_layout):
+    if qd_layout:
+        ns, sp, dsp, b = sd.shape
+        sim_spec = pl.BlockSpec((1, sp, kd, b), lambda s, d: (s, 0, d, 0))
+    else:
+        ns, dsp, sp, b = sd.shape
+        sim_spec = pl.BlockSpec((1, kd, sp, b), lambda s, d: (s, d, 0, 0))
     if sp != strip or strip % 8 or kd % 8 or kd % uf or dsp % kd:
         raise ValueError("bad strip/kd/uf geometry")
     if strip < kd + 8:
         raise ValueError("strip must be >= kd + 8 (boundary rotation)")
     nblk = dsp // kd
     kernel = functools.partial(_sw_strip_kernel, q=q, t=t, sp=sp, kd=kd,
-                               uf=uf)
+                               uf=uf, qd_layout=qd_layout)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, b), jnp.float32),
@@ -155,7 +174,7 @@ def sw_affine_scores_striped(sd: jax.Array, gap: jax.Array, *, q: int,
             in_specs=[
                 pl.BlockSpec((1, 2), lambda s, d: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, kd, sp, b), lambda s, d: (s, d, 0, 0)),
+                sim_spec,
             ],
             out_specs=pl.BlockSpec((1, b), lambda s, d: (0, 0)),
             scratch_shapes=[
@@ -178,19 +197,35 @@ def sw_affine_scores_striped(sd: jax.Array, gap: jax.Array, *, q: int,
     return out[0]
 
 
-@functools.partial(jax.jit, static_argnames=("strip", "kd", "sim_dtype"))
-def strip_skewed_similarity_from_codes(q_codes: jax.Array,
-                                       t_codes: jax.Array, table: jax.Array,
-                                       strip: int = 64, kd: int = 16,
-                                       sim_dtype=jnp.int8) -> jax.Array:
-    """(B, Q) x (B, T) int codes + (A, A) table -> (NS, DSp, Sp, Bp)
-    strip-skewed similarity: [ns, d, i, b] = sim[ns*S + i, d - i, b].
+@functools.partial(jax.jit,
+                   static_argnames=("q", "t", "strip", "kd", "uf"))
+def sw_affine_scores_striped(sd: jax.Array, gap: jax.Array, *, q: int,
+                             t: int, strip: int = 64, kd: int = 16,
+                             uf: int = 4) -> jax.Array:
+    """sd: (NS, DSp, Sp, B) strip-skewed similarity from
+    :func:`strip_skewed_similarity_from_codes`; gap: (1, 2) [gi, ge].
+    Returns (B,) local alignment scores, bit-identical to
+    swaffine.sw_affine_scores_from_skewed / sw_affine_scores_xla."""
+    return _striped_call(sd, gap, q=q, t=t, strip=strip, kd=kd, uf=uf,
+                         qd_layout=False)
 
-    One MXU one-hot contraction emits (Q, T, B) with the 128-lane batch
-    axis last; the per-strip diagonal skew is the pad/flatten/reshape trick
-    on the strip's row block (no gathers, no lane-crossing ops), followed by
-    a sublane-major transpose.  Total size is Q*(S+T-1)*B — 1.6x smaller
-    than the monolithic skew's (Q+T-1)*Qp*B at S=64, T=Q=512."""
+
+@functools.partial(jax.jit,
+                   static_argnames=("q", "t", "strip", "kd", "uf"))
+def sw_affine_scores_striped_qd(sd: jax.Array, gap: jax.Array, *, q: int,
+                                t: int, strip: int = 64, kd: int = 16,
+                                uf: int = 4) -> jax.Array:
+    """Kernel entry for the transpose-free (NS, Sp, DSp, B) layout from
+    :func:`strip_skewed_similarity_qd`: the per-diagonal similarity is
+    sliced from the block's middle (sublane-major) axis in-kernel."""
+    return _striped_call(sd, gap, q=q, t=t, strip=strip, kd=kd, uf=uf,
+                         qd_layout=True)
+
+
+def _strip_sim(q_codes, t_codes, table, strip: int, kd: int, sim_dtype,
+               int8_mm: bool):
+    """Shared producer body -> (NS, S, DSp, Bp) row-major strip skew
+    ([ns, i, d, b] = sim[ns*S + i, d - i, b])."""
     b, q = q_codes.shape
     t = t_codes.shape[1]
     a = table.shape[0]
@@ -200,12 +235,23 @@ def strip_skewed_similarity_from_codes(q_codes: jax.Array,
     bp = _round_up(b, 128)
     ds = s + t - 1
     dsp = _round_up(ds, kd)
-    qoh = jax.nn.one_hot(q_codes, a, dtype=jnp.float32)      # (B, Q, A)
-    toh = jax.nn.one_hot(t_codes, a, dtype=jnp.float32)      # (B, T, A)
-    qt = jnp.einsum("bqa,ac->bqc", qoh, table.astype(jnp.float32),
-                    preferred_element_type=jnp.float32)
-    sim = jnp.einsum("bqc,btc->qtb", qt, toh,
-                     preferred_element_type=jnp.float32).astype(sim_dtype)
+    if int8_mm and sim_dtype == jnp.int8:
+        # integer tables (BLOSUM): int8 one-hot x int8 table on the MXU's
+        # int8 path, int32 accumulate, convert fused into the epilogue —
+        # no float32 (Q, T, B) intermediate round-trips HBM
+        qoh = jax.nn.one_hot(q_codes, a, dtype=jnp.int8)     # (B, Q, A)
+        toh = jax.nn.one_hot(t_codes, a, dtype=jnp.int8)     # (B, T, A)
+        qt = jnp.einsum("bqa,ac->bqc", qoh, table.astype(jnp.int8),
+                        preferred_element_type=jnp.int32).astype(jnp.int8)
+        sim = jnp.einsum("bqc,btc->qtb", qt, toh,
+                         preferred_element_type=jnp.int32).astype(jnp.int8)
+    else:
+        qoh = jax.nn.one_hot(q_codes, a, dtype=jnp.float32)  # (B, Q, A)
+        toh = jax.nn.one_hot(t_codes, a, dtype=jnp.float32)  # (B, T, A)
+        qt = jnp.einsum("bqa,ac->bqc", qoh, table.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+        sim = jnp.einsum("bqc,btc->qtb", qt, toh,
+                         preferred_element_type=jnp.float32).astype(sim_dtype)
     sim = jnp.pad(sim, ((0, qp - q), (0, 0), (0, bp - b)))   # (Qp, T, Bp)
     sim = sim.reshape(ns, s, t, bp)
     # per-strip diagonal skew: pad row width to t+s, flatten, drop, reshape
@@ -213,8 +259,40 @@ def strip_skewed_similarity_from_codes(q_codes: jax.Array,
     padded = jnp.pad(sim, ((0, 0), (0, 0), (0, s), (0, 0)))  # (NS,S,T+S,Bp)
     flat = padded.reshape(ns, s * (t + s), bp)[:, : s * (t + s - 1)]
     sk = flat.reshape(ns, s, t + s - 1, bp)                  # [ns, i, d, b]
-    sk = jnp.pad(sk, ((0, 0), (0, 0), (0, dsp - ds), (0, 0)))
+    return jnp.pad(sk, ((0, 0), (0, 0), (0, dsp - ds), (0, 0)))
+
+
+@functools.partial(jax.jit, static_argnames=("strip", "kd", "sim_dtype",
+                                             "int8_mm"))
+def strip_skewed_similarity_from_codes(q_codes: jax.Array,
+                                       t_codes: jax.Array, table: jax.Array,
+                                       strip: int = 64, kd: int = 16,
+                                       sim_dtype=jnp.int8,
+                                       int8_mm: bool = False) -> jax.Array:
+    """(B, Q) x (B, T) int codes + (A, A) table -> (NS, DSp, Sp, Bp)
+    strip-skewed similarity: [ns, d, i, b] = sim[ns*S + i, d - i, b].
+
+    One MXU one-hot contraction emits (Q, T, B) with the 128-lane batch
+    axis last; the per-strip diagonal skew is the pad/flatten/reshape trick
+    on the strip's row block (no gathers, no lane-crossing ops), followed by
+    a sublane-major transpose.  Total size is Q*(S+T-1)*B — 1.6x smaller
+    than the monolithic skew's (Q+T-1)*Qp*B at S=64, T=Q=512."""
+    sk = _strip_sim(q_codes, t_codes, table, strip, kd, sim_dtype, int8_mm)
     return jnp.transpose(sk, (0, 2, 1, 3))                   # (NS,DSp,S,Bp)
+
+
+@functools.partial(jax.jit, static_argnames=("strip", "kd", "sim_dtype",
+                                             "int8_mm"))
+def strip_skewed_similarity_qd(q_codes: jax.Array, t_codes: jax.Array,
+                               table: jax.Array, strip: int = 64,
+                               kd: int = 16, sim_dtype=jnp.int8,
+                               int8_mm: bool = False) -> jax.Array:
+    """Transpose-free producer variant: (NS, Sp, DSp, Bp) row-major
+    ([ns, i, d, b]); pairs with sw_affine_scores_striped_qd, which slices
+    diagonal d out of the block's middle (sublane-major) axis in-kernel
+    instead of paying the 2x-array-size relayout here."""
+    return _strip_sim(q_codes, t_codes, table, strip, kd, sim_dtype,
+                      int8_mm)
 
 
 def sw_affine_batch_striped(q_codes, t_codes, table, gi: float, ge: float,

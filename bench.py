@@ -144,13 +144,15 @@ def config2_screen_cluster(bl) -> dict:
     t_codes = encode_library(seqs, index, pad_code)
     names = [f"t{i}" for i in range(nlib)]
 
-    t0 = time.perf_counter()
-    scores, idx = pscreen.screen_library(q_codes, t_codes, table, GI, GE,
-                                         k=nlib)
-    with contextlib.redirect_stdout(io.StringIO()):
-        _cluster_hits(q_codes, t_codes, table, GI, GE, scores, idx, names,
-                      8.0, pad_code)
-    dt = time.perf_counter() - t0
+    dt = None
+    for _ in range(2):  # second pass is compile-cached (steady state)
+        t0 = time.perf_counter()
+        scores, idx = pscreen.screen_library(q_codes, t_codes, table, GI, GE,
+                                             k=nlib)
+        with contextlib.redirect_stdout(io.StringIO()):
+            _cluster_hits(q_codes, t_codes, table, GI, GE, scores, idx,
+                          names, 8.0, pad_code)
+        dt = time.perf_counter() - t0
     return {"seconds": round(dt, 4), "library": nlib, "length": length,
             "pipeline": "screen + traceback + ali_dist matrix + UPGMA"}
 
