@@ -295,6 +295,61 @@ def strip_skewed_similarity_qd(q_codes: jax.Array, t_codes: jax.Array,
                       int8_mm)
 
 
+@functools.partial(jax.jit, static_argnames=("strip", "kd", "sim_dtype"))
+def strip_skewed_similarity_screen(q_codes: jax.Array, t_codes: jax.Array,
+                                   table: jax.Array, strip: int = 64,
+                                   kd: int = 16,
+                                   sim_dtype=jnp.int8) -> jax.Array:
+    """Screen-shaped producer: ONE query (Q,) against B templates (B, T)
+    -> (NS, DSp, Sp, Bp) strip-skewed similarity.
+
+    The contraction is a single un-batched MXU matmul (Q, A) @ (A, T*B) —
+    none of the batch-minor einsum relayouts the distinct-pairs form pays —
+    so the producer drops well under the kernel's own cost.  This is the
+    production shape of config 2 (all-vs-all = one query row at a time)
+    and config 5 (library screen)."""
+    (q,) = q_codes.shape
+    b, t = t_codes.shape
+    a = table.shape[0]
+    s = strip
+    ns = -(-q // s)
+    qp = ns * s
+    bp = _round_up(b, 128)
+    ds = s + t - 1
+    dsp = _round_up(ds, kd)
+    qoh = jax.nn.one_hot(q_codes, a, dtype=jnp.float32)          # (Q, A)
+    qt = jnp.dot(qoh, table.astype(jnp.float32),
+                 preferred_element_type=jnp.float32)             # (Q, A)
+    toh = jax.nn.one_hot(t_codes.T, a, dtype=jnp.float32, axis=0)
+    sim = jnp.dot(qt, toh.reshape(a, t * b),
+                  preferred_element_type=jnp.float32)            # (Q, T*B)
+    sim = sim.reshape(q, t, b).astype(sim_dtype)
+    sim = jnp.pad(sim, ((0, qp - q), (0, 0), (0, bp - b)))       # (Qp,T,Bp)
+    sim = sim.reshape(ns, s, t, bp)
+    padded = jnp.pad(sim, ((0, 0), (0, 0), (0, s), (0, 0)))      # T -> T+S
+    flat = padded.reshape(ns, s * (t + s), bp)[:, : s * (t + s - 1)]
+    sk = flat.reshape(ns, s, t + s - 1, bp)                      # [ns,i,d,b]
+    sk = jnp.pad(sk, ((0, 0), (0, 0), (0, dsp - ds), (0, 0)))
+    return jnp.transpose(sk, (0, 2, 1, 3))                       # diag-major
+
+
+def sw_affine_screen_striped(q_codes, t_codes, table, gi: float, ge: float,
+                             strip: int = 64, kd: int = 16, uf: int = 4,
+                             sim_dtype=jnp.int8):
+    """One query against a template library through the strip engine:
+    codes -> screen producer (one MXU matmul) -> kernel -> (B,) scores."""
+    q_codes = jnp.asarray(q_codes)
+    t_codes = jnp.asarray(t_codes)
+    (q,) = q_codes.shape
+    b, t = t_codes.shape
+    sd = strip_skewed_similarity_screen(q_codes, t_codes, jnp.asarray(table),
+                                        strip=strip, kd=kd,
+                                        sim_dtype=sim_dtype)
+    gap = jnp.array([[gi, ge]], dtype=jnp.float32)
+    return sw_affine_scores_striped(sd, gap, q=q, t=t, strip=strip, kd=kd,
+                                    uf=uf)[:b]
+
+
 def sw_affine_batch_striped(q_codes, t_codes, table, gi: float, ge: float,
                             strip: int = 64, kd: int = 16, uf: int = 4,
                             sim_dtype=jnp.int8):

@@ -54,16 +54,24 @@ def _pad_library(t_codes: np.ndarray, shards: int):
     return t_codes, n
 
 
-@functools.partial(jax.jit, static_argnames=("q", "t", "k", "use_pallas"))
+@functools.partial(jax.jit, static_argnames=("q", "t", "k", "use_pallas",
+                                             "int8_sim"))
 def _screen_step(q_codes, t_codes, table, gap, valid_mask, *, q: int, t: int,
-                 k: int, use_pallas: bool):
+                 k: int, use_pallas: bool, int8_sim: bool = False):
     b = t_codes.shape[0]
-    qb = jnp.broadcast_to(q_codes[None, :], (b, q))
-    s = swaffine.similarity_from_codes(qb, t_codes, table)
-    sd = swaffine.skew_similarity(s)
     if use_pallas:
-        scores = swaffine.sw_affine_scores_from_skewed(sd, gap, q=q, t=t)[:b]
+        # strip-mined engine (ops/swstrip): ~89% band occupancy and a
+        # single-matmul producer for the one-query screen shape; int8
+        # similarity streaming only when the host proved the table integral
+        from ..ops import swstrip
+        sd = swstrip.strip_skewed_similarity_screen(
+            q_codes, t_codes, table,
+            sim_dtype=jnp.int8 if int8_sim else jnp.float32)
+        scores = swstrip.sw_affine_scores_striped(sd, gap, q=q, t=t)[:b]
     else:
+        qb = jnp.broadcast_to(q_codes[None, :], (b, q))
+        s = swaffine.similarity_from_codes(qb, t_codes, table)
+        sd = swaffine.skew_similarity(s)
         scores = swaffine.sw_affine_scores_xla(sd, gap, q=q, t=t)[:b]
     scores = jnp.where(valid_mask, scores, jnp.float32(-3e38))
     # deterministic top-k: score desc, ties by library index asc.
@@ -102,9 +110,12 @@ def screen_library(q_codes: np.ndarray, t_codes: np.ndarray,
     gap = _put(mesh, np.array([[gi, ge]], np.float32), P())
     valid = _put(mesh, np.arange(t_codes.shape[0]) < n_real, P(axis))
 
+    tbl = np.asarray(table)
+    int8_sim = bool(np.all(tbl == np.round(tbl)) and np.abs(tbl).max() < 127)
     with mesh:
         scores, idx = _screen_step(q_dev, t_dev, table_dev, gap, valid,
-                                   q=q, t=t, k=k, use_pallas=use_pallas)
+                                   q=q, t=t, k=k, use_pallas=use_pallas,
+                                   int8_sim=int8_sim)
     return np.asarray(scores), np.asarray(idx)
 
 

@@ -87,6 +87,23 @@ def test_striped_qd_layout_bit_equal(int8_mm):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_striped_screen_shape_bit_equal():
+    """One-query-vs-library producer (single MXU matmul) must reproduce
+    the batched engine's scores bit-for-bit."""
+    rng = np.random.default_rng(13)
+    b, q, t = 7, 40, 24
+    qc1 = rng.integers(0, 20, (q,))
+    tc = rng.integers(0, 20, (b, t))
+    table = rng.integers(-4, 12, (20, 20)).astype(np.float32)
+    with _interp():
+        got = np.asarray(swstrip.sw_affine_screen_striped(
+            qc1, tc, table, 11.0, 1.0, strip=16, kd=8, uf=2))
+        ref = np.asarray(swstrip.sw_affine_batch_striped(
+            np.broadcast_to(qc1, (b, q)), tc, table, 11.0, 1.0,
+            strip=16, kd=8, uf=2))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_striped_end_to_end_int8():
     rng = np.random.default_rng(7)
     b, q, t = 3, 40, 40

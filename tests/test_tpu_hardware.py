@@ -51,16 +51,51 @@ print("ALL_OK")
 """
 
 
-def test_dp_pallas_mosaic_bit_parity_on_device():
-    """The exact general-gap kernel must compile under Mosaic and match
-    the host oracle bit-for-bit at the judge's sizes (130/258/514)."""
+def _run_on_device(prog: str) -> None:
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # let the TPU plugin claim the device
     env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
-    r = subprocess.run(
-        [sys.executable, "-u", "-c",
-         _PROG % {"tests": os.path.join(ROOT, "tests")}],
-        capture_output=True, text=True, env=env, timeout=900)
+    r = subprocess.run([sys.executable, "-u", "-c", prog],
+                       capture_output=True, text=True, env=env, timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "ALL_OK" in r.stdout, r.stdout
+
+
+def test_dp_pallas_mosaic_bit_parity_on_device():
+    """The exact general-gap kernel must compile under Mosaic and match
+    the host oracle bit-for-bit at the judge's sizes (130/258/514)."""
+    _run_on_device(_PROG % {"tests": os.path.join(ROOT, "tests")})
+
+
+_STRIP_PROG = r"""
+import numpy as np, sys
+import jax, jax.numpy as jnp
+from alignment_algos_tpu.ops import swaffine, swstrip
+plat = jax.devices()[0].platform
+assert plat == "tpu", f"not a TPU: {plat}"
+rng = np.random.default_rng(0)
+gap = jnp.array([[11.0, 1.0]], dtype=jnp.float32)
+table = jnp.asarray(rng.integers(-4, 12, (20, 20)).astype(np.float32))
+for b, q, t in [(130, 96, 256), (512, 512, 512)]:
+    qc = jnp.asarray(rng.integers(0, 20, (b, q)), jnp.int32)
+    tc = jnp.asarray(rng.integers(0, 20, (b, t)), jnp.int32)
+    sd_m = swaffine.skewed_similarity_from_codes(qc, tc, table)
+    ref = np.asarray(swaffine.sw_affine_scores_xla(sd_m, gap, q=q, t=t))[:b]
+    got = np.asarray(swstrip.sw_affine_batch_striped(
+        qc, tc, table, 11.0, 1.0))
+    assert np.array_equal(got, ref), f"strip mismatch at {(b, q, t)}"
+    sg = np.asarray(swstrip.sw_affine_screen_striped(
+        qc[0], tc, table, 11.0, 1.0))
+    ref1 = np.asarray(swstrip.sw_affine_batch_striped(
+        jnp.broadcast_to(qc[0], (b, q)), tc, table, 11.0, 1.0))
+    assert np.array_equal(sg, ref1), f"screen-shape mismatch at {(b, q, t)}"
+    print(f"{b}x{q}x{t} ok", flush=True)
+print("ALL_OK")
+"""
+
+
+def test_strip_kernel_mosaic_bit_parity_on_device():
+    """The strip-mined SW kernel (the production screen engine on TPU)
+    must compile under Mosaic and match the XLA twin bit-for-bit."""
+    _run_on_device(_STRIP_PROG)
