@@ -254,12 +254,13 @@ def _strip_sim(q_codes, t_codes, table, strip: int, kd: int, sim_dtype,
                          preferred_element_type=jnp.float32).astype(sim_dtype)
     sim = jnp.pad(sim, ((0, qp - q), (0, 0), (0, bp - b)))   # (Qp, T, Bp)
     sim = sim.reshape(ns, s, t, bp)
-    # per-strip diagonal skew: pad row width to t+s, flatten, drop, reshape
-    # -> row i shifted right by i, so [ns, i, d, b] = sim[ns, i, d-i, b]
-    padded = jnp.pad(sim, ((0, 0), (0, 0), (0, s), (0, 0)))  # (NS,S,T+S,Bp)
-    flat = padded.reshape(ns, s * (t + s), bp)[:, : s * (t + s - 1)]
-    sk = flat.reshape(ns, s, t + s - 1, bp)                  # [ns, i, d, b]
-    return jnp.pad(sk, ((0, 0), (0, 0), (0, dsp - ds), (0, 0)))
+    # per-strip diagonal skew via ONE pad: widen rows straight to the
+    # final padded diagonal count (dsp + 1 columns), flatten, drop,
+    # reshape -> row i shifted right by i: [ns, i, d, b] = sim[ns,i,d-i,b]
+    w = dsp + 1
+    padded = jnp.pad(sim, ((0, 0), (0, 0), (0, w - t), (0, 0)))
+    flat = padded.reshape(ns, s * w, bp)[:, : s * (w - 1)]
+    return flat.reshape(ns, s, dsp, bp)                      # [ns, i, d, b]
 
 
 @functools.partial(jax.jit, static_argnames=("strip", "kd", "sim_dtype",
@@ -326,10 +327,11 @@ def strip_skewed_similarity_screen(q_codes: jax.Array, t_codes: jax.Array,
     sim = sim.reshape(q, t, b).astype(sim_dtype)
     sim = jnp.pad(sim, ((0, qp - q), (0, 0), (0, bp - b)))       # (Qp,T,Bp)
     sim = sim.reshape(ns, s, t, bp)
-    padded = jnp.pad(sim, ((0, 0), (0, 0), (0, s), (0, 0)))      # T -> T+S
-    flat = padded.reshape(ns, s * (t + s), bp)[:, : s * (t + s - 1)]
-    sk = flat.reshape(ns, s, t + s - 1, bp)                      # [ns,i,d,b]
-    sk = jnp.pad(sk, ((0, 0), (0, 0), (0, dsp - ds), (0, 0)))
+    # single-pad skew: widen rows straight to dsp+1 columns, flatten, drop
+    w = dsp + 1
+    padded = jnp.pad(sim, ((0, 0), (0, 0), (0, w - t), (0, 0)))
+    flat = padded.reshape(ns, s * w, bp)[:, : s * (w - 1)]
+    sk = flat.reshape(ns, s, dsp, bp)                            # [ns,i,d,b]
     return jnp.transpose(sk, (0, 2, 1, 3))                       # diag-major
 
 
