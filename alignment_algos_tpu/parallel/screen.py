@@ -147,6 +147,41 @@ def _grid_step(q_codes, t_codes, table, gap, valid, *, q: int, t: int, k: int):
     return scores, topk_scores, topk_idx
 
 
+def _grid_scores_strip(mesh, qd, td, tab, gap, *, q: int, t: int,
+                       int8_sim: bool):
+    """TPU all-pairs scores: shard_map over the (qb, lib) mesh, each device
+    scanning its local query block against its local library shard through
+    the strip engine — queries stay parallel ACROSS the mesh (a bare
+    lax.scan over a qb-sharded axis would serialize and force a gather)
+    while each device amortizes its dispatch over its whole block."""
+    from ..ops import swstrip
+    qb_ax, lib_ax = mesh.axis_names
+
+    def local_block(qblk, tblk, tbl, gp):
+        bloc = tblk.shape[0]
+
+        def body(_, qc):
+            sd = swstrip.strip_skewed_similarity_screen(
+                qc, tblk, tbl,
+                sim_dtype=jnp.int8 if int8_sim else jnp.float32)
+            return 0, swstrip.sw_affine_scores_striped(
+                sd, gp, q=q, t=t)[:bloc]
+        _, sc = jax.lax.scan(body, 0, qblk)
+        return sc                                   # (nq_loc, nt_loc)
+
+    fn = jax.shard_map(local_block, mesh=mesh,
+                       in_specs=(P(qb_ax, None), P(lib_ax, None), P(), P()),
+                       out_specs=P(qb_ax, lib_ax),
+                       check_vma=False)  # pallas outputs carry no vma info
+    return jax.jit(fn)(qd, td, tab, gap)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _grid_topk(scores, valid, *, k: int):
+    masked = jnp.where(valid[None, :], scores, jnp.float32(-3e38))
+    return jax.lax.top_k(masked, k)
+
+
 def screen_grid(q_codes: np.ndarray, t_codes: np.ndarray, table: np.ndarray,
                 gi: float, ge: float, k: int = 5,
                 mesh: Mesh | None = None):
@@ -178,7 +213,16 @@ def screen_grid(q_codes: np.ndarray, t_codes: np.ndarray, table: np.ndarray,
     valid = jax.device_put(jnp.arange(t_codes_p.shape[0]) < nt,
                            NamedSharding(mesh, P(lib_ax)))
     with mesh:
-        scores, ts, ti = _grid_step(qd, td, tab, gap, valid, q=q, t=t, k=k)
+        if jax.devices()[0].platform == "tpu":
+            tblh = np.asarray(table)
+            int8_sim = bool(np.all(tblh == np.round(tblh))
+                            and np.abs(tblh).max() < 127)
+            scores = _grid_scores_strip(mesh, qd, td, tab, gap, q=q, t=t,
+                                        int8_sim=int8_sim)
+            ts, ti = _grid_topk(scores, valid, k=k)
+        else:
+            scores, ts, ti = _grid_step(qd, td, tab, gap, valid,
+                                        q=q, t=t, k=k)
     return (np.asarray(scores)[:nq, :nt], np.asarray(ts)[:nq],
             np.asarray(ti)[:nq])
 

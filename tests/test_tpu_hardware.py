@@ -91,6 +91,23 @@ for b, q, t in [(130, 96, 256), (512, 512, 512)]:
         jnp.broadcast_to(qc[0], (b, q)), tc, table, 11.0, 1.0))
     assert np.array_equal(sg, ref1), f"screen-shape mismatch at {(b, q, t)}"
     print(f"{b}x{q}x{t} ok", flush=True)
+# the shard_map'd all-pairs grid screen (TPU-only code path) must agree
+# with the portable XLA grid step
+from alignment_algos_tpu.parallel.screen import grid_mesh, screen_grid
+from alignment_algos_tpu.parallel import screen as ps
+gm = grid_mesh((1, 1))
+qs = rng.integers(0, 20, (5, 96)).astype(np.int32)
+lib = rng.integers(0, 20, (37, 256)).astype(np.int32)
+tblh = np.asarray(table)
+sc, ts, ti = screen_grid(qs, lib, tblh, 11.0, 1.0, k=4, mesh=gm)
+import jax.numpy as jnp2
+sc_ref, _, _ = ps._grid_step(
+    jnp.asarray(qs), jnp.asarray(np.pad(lib, ((0, 0), (0, 0)))),
+    jnp.asarray(tblh, jnp.float32),
+    jnp.array([[11.0, 1.0]], jnp.float32),
+    jnp.arange(37) < 37, q=96, t=256, k=4)
+assert np.array_equal(sc, np.asarray(sc_ref)[:5, :37]), "grid strip mismatch"
+print("grid ok", flush=True)
 print("ALL_OK")
 """
 
