@@ -1,22 +1,47 @@
-"""K-medoids clustering with simulated annealing over the cluster count
-(kmedoidclusterer.{h,cpp}, clusterset.{h,cpp}).
+"""K-medoids clustering with simulated annealing over the cluster count —
+byte-faithful to the reference (kmedoidclusterer.{h,cpp}, clusterset.{h,cpp}).
 
 The reference anneals with merge-two/split-one moves (Metropolis accept,
 kT *= 0.9 cooling), grows the cluster count until the per-cluster variance
-constraint passes, then shrinks it keeping the smallest k whose clusters all
-pass (variance <= max_var and member distance^2 <= 1.6*max_var).
+constraint passes, then shrinks it keeping the smallest k whose clusters
+all pass (variance <= max_var and member distance^2 <= 1.6*max_var).
 
-The reference seeds rand() with time() (non-deterministic run to run); this
-implementation takes an explicit seed.
+Determinism: the reference's only nondeterminism is ``srand(time(NULL))``
+(kmedoidclusterer.cpp:67).  This implementation consumes a bit-exact glibc
+``rand()`` replica (utils/crand.py) in the reference's exact call order, so
+with a pinned seed every random draw, Metropolis test, and state copy
+matches the oracle build byte for byte (tests/test_kmedoid_oracle.py).
+All arithmetic is float32 in the reference's source order; the two exp()
+calls promote to float64 exactly as C's double ``exp`` does.
+
+Replicated reference defects (kept for parity, flagged here):
+  * ``update_cluster_centroid`` (kmedoidclusterer.cpp:440-461) seeds its
+    minimum with the distances to global POINT 0 (``min_idx`` is 0, used as
+    a point index) rather than to the cluster's first member; the final
+    centroid is ``members[min_idx]`` with ``min_idx`` now a member
+    POSITION.  A cluster whose best medoid is its first member therefore
+    reports the variance about point 0.
+  * ``get_broadest_cluster`` (kmedoidclusterer.cpp:755-775) starts its scan
+    at index 1, never considering cluster 0.
+  * ``randomly_choose_initial_clusters`` sets initial variances through an
+    out-of-bounds ``dist_sq(-1, m)`` read (centroid still -1).  The value
+    is dead — ``cluster()`` recomputes variances before any use — so this
+    implementation stores 0 instead of replicating the UB read.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+from ..utils.crand import GlibcRandom
+
+F = np.float32
+
 
 class ClusterSet:
-    """Triangular distance + squared-distance store (clusterset.h)."""
+    """Triangular distance + squared-distance store (clusterset.h:14-44).
+    dist_sq mirrors set_dist_sq's pow(d, 2): exact double product rounded
+    once to float32 == float32 square."""
 
     def __init__(self, distance: np.ndarray) -> None:
         d = np.asarray(distance, dtype=np.float32)
@@ -24,11 +49,11 @@ class ClusterSet:
         self.D2 = (self.D ** 2).astype(np.float32)
         self.n = d.shape[0]
 
-    def dist(self, i: int, j: int) -> float:
-        return float(self.D[i, j])
+    def dist(self, i: int, j: int) -> np.float32:
+        return self.D[i, j]
 
-    def dist_sq(self, i: int, j: int) -> float:
-        return float(self.D2[i, j])
+    def dist_sq(self, i: int, j: int) -> np.float32:
+        return self.D2[i, j]
 
 
 class _Cluster:
@@ -37,7 +62,7 @@ class _Cluster:
     def __init__(self, centroid: int = -1) -> None:
         self.members: list[int] = []
         self.centroid = centroid
-        self.variance = 0.0
+        self.variance = F(0)
 
     def copy(self) -> "_Cluster":
         c = _Cluster(self.centroid)
@@ -47,212 +72,236 @@ class _Cluster:
 
 
 class KMedoidClusterer:
-    def __init__(self, points: ClusterSet, k_max: int, seed: int = 0) -> None:
+    """Reference call stacks: find_good_clustering kmedoidclusterer.cpp:62-99,
+    simulated_annealing :102-229, cluster :233-249."""
+
+    def __init__(self, points: ClusterSet, k_max: int, seed: int = 1) -> None:
         self.points = points
         self.num_points = points.n
         self.k_max = k_max
-        self.rng = np.random.default_rng(seed)
-        self.kT = 1.0
+        self.seed = seed
+        self.rng = GlibcRandom(seed)
+        self.kT = F(1)
 
-    # ---- core k-medoids ----------------------------------------------
-    def _update_centroid(self, c: _Cluster) -> None:
-        m = np.array(c.members)
-        sub = self.points.D2[np.ix_(m, m)]
-        totals = sub.sum(axis=1)
-        best = int(np.argmin(totals))
-        c.centroid = int(m[best])
-        c.variance = float(totals[best] / len(m))
+    # ---- randomness (header inline random_p, get_random_cluster) -------
+    def _random_p(self) -> F:
+        return F(self.rng.rand() % 100) / F(100)
 
-    def _assign_all(self, vc: list[_Cluster]) -> None:
-        cents = np.array([c.centroid for c in vc])
-        d2 = self.points.D2[:, cents]
-        nearest = np.argmin(d2, axis=1)
+    def _random_cluster(self, vc: list[_Cluster]) -> _Cluster:
+        return vc[self.rng.rand() % len(vc)]
+
+    @staticmethod
+    def _exp(x) -> np.float64:
+        with np.errstate(over="ignore", invalid="ignore"):
+            return np.exp(np.float64(x))
+
+    # ---- core k-medoids (cpp:233-249, 375-461) -------------------------
+    def _update_cluster_centroid(self, c: _Cluster) -> None:
+        d2 = self.points.D2
+        m = c.members
+        if not m:
+            raise RuntimeError(
+                "update_cluster_centroid on an empty cluster (reference UB, "
+                "kmedoidclusterer.cpp:460 members[min_idx] out of bounds)")
+        min_variance = F(0)
+        min_idx = 0  # NB reference defect: used first as point index 0
+        for mi in m:
+            min_variance = F(min_variance + d2[mi, min_idx])
+        for i in range(1, len(m)):
+            curr = F(0)
+            for mj in m:
+                curr = F(curr + d2[mj, m[i]])
+            if curr < min_variance:
+                min_variance = curr
+                min_idx = i
+        c.centroid = m[min_idx]
+        c.variance = F(min_variance / F(len(m)))
+
+    def _put_with_nearest_centroid(self, p: int,
+                                   vc: list[_Cluster]) -> None:
+        d2 = self.points.D2
+        min_d = d2[p, vc[0].centroid]
+        min_cluster = 0
+        for i in range(1, len(vc)):
+            d = d2[p, vc[i].centroid]
+            if d < min_d:
+                min_d = d
+                min_cluster = i
+        c = vc[min_cluster]
+        c.variance = F(c.variance
+                       + F(F(min_d - c.variance) / F(len(c.members) + 1)))
+        c.members.append(p)
+
+    def _assign_all_points(self, vc: list[_Cluster]) -> None:
         for c in vc:
             c.members = []
-            c.variance = 0.0
         for p in range(self.num_points):
-            c = vc[int(nearest[p])]
-            md = float(d2[p, nearest[p]])
-            c.variance += (md - c.variance) / (len(c.members) + 1)
-            c.members.append(p)
+            self._put_with_nearest_centroid(p, vc)
 
-    def cluster(self, vc: list[_Cluster]) -> float:
-        prev = None
-        cur = sorted(c.centroid for c in vc)
-        while prev != cur:
-            prev = cur
-            for c in vc:
-                if c.members:
-                    self._update_centroid(c)
-            self._assign_all(vc)
-            cur = sorted(c.centroid for c in vc)
+    def cluster(self, vc: list[_Cluster]) -> F:
+        # reference defect (kmedoidclusterer.cpp:233-249): the convergence
+        # loop never refreshes curr_centroids inside the loop, so
+        # prev == curr after ONE iteration — cluster() always performs
+        # exactly one update-centroids + assign pass, never iterating
+        # k-medoids to convergence.  Replicated for byte parity.
+        for c in vc:
+            self._update_cluster_centroid(c)
+        self._assign_all_points(vc)
         return self._total_variance(vc)
 
-    def _total_variance(self, vc: list[_Cluster]) -> float:
-        tot = sum(c.variance * len(c.members) for c in vc)
-        return float(tot / self.num_points)
+    def _total_variance(self, vc: list[_Cluster]) -> F:
+        tot = F(0)
+        for c in vc:
+            tot = F(tot + F(c.variance * F(len(c.members))))
+        return F(tot / F(self.num_points))
 
-    def _below_max_var(self, vc: list[_Cluster], max_var: float) -> bool:
+    def _get_cluster_variance(self, c: _Cluster) -> F:
+        if not c.members:
+            return F(-1)
+        v = F(0)
+        for m in c.members:
+            v = F(v + self.points.D2[c.centroid, m])
+        return F(v / F(len(c.members)))
+
+    def _below_max_var(self, vc: list[_Cluster], max_var) -> bool:
+        max_var = F(max_var)
         for c in vc:
             if c.variance > max_var:
                 return False
+        lim = F(F(1.6) * max_var)
         for c in vc:
             for m in c.members:
-                if self.points.dist_sq(m, c.centroid) > 1.6 * max_var:
+                if self.points.D2[m, c.centroid] > lim:
                     return False
         return True
 
-    # ---- annealing moves ---------------------------------------------
-    def _random_cluster(self, vc):
-        return vc[int(self.rng.integers(0, len(vc)))]
-
-    def _merge_two(self, vc: list[_Cluster]) -> None:
-        # Metropolis-biased pick of two clusters, else nearest pair
-        pick = None
-        for _ in range(10 * len(vc)):
-            c1 = self._random_cluster(vc)
-            c2 = c1
-            while c2 is c1:
-                c2 = self._random_cluster(vc)
-            d2 = self.points.dist_sq(c1.centroid, c2.centroid)
-            if np.exp(min(d2 / max(self.kT, 1e-9), 50.0)) >= self.rng.uniform():
-                pick = (c1, c2)
+    # ---- annealing moves (cpp:527-712) ---------------------------------
+    def _choose_clusters_to_merge(self, vc):
+        cand1 = self._random_cluster(vc)
+        cand2 = cand1
+        while cand2 is cand1:
+            cand2 = self._random_cluster(vc)
+        i = 0
+        max_attempts = 10 * len(vc)
+        while True:
+            if not i < max_attempts:
                 break
-        if pick is None:
-            best = (np.inf, None, None)
-            for i in range(len(vc) - 1):
-                for j in range(i + 1, len(vc)):
-                    d = self.points.dist(vc[i].centroid, vc[j].centroid)
-                    if d < best[0]:
-                        best = (d, vc[i], vc[j])
-            pick = (best[1], best[2])
-        c1, c2 = pick
-        merged = _Cluster()
-        merged.members = c1.members + c2.members
-        self._update_centroid(merged)
+            with np.errstate(over="ignore", invalid="ignore",
+                             divide="ignore"):
+                q = F(self.points.D2[cand1.centroid, cand2.centroid]
+                      / self.kT)
+            if not self._exp(q) < self._random_p():
+                break
+            cand1 = self._random_cluster(vc)
+            cand2 = cand1
+            while cand2 is cand1:
+                cand2 = self._random_cluster(vc)
+            i += 1
+        if i >= max_attempts:
+            return None, None
+        return cand1, cand2
+
+    def _get_nearest_clusters(self, vc):
+        dm = self.points.D
+        min_d = dm[vc[0].centroid, vc[1].centroid]
+        i1, i2 = 0, 1
+        for i in range(len(vc) - 1):
+            for j in range(i + 1, len(vc)):
+                d = dm[vc[i].centroid, vc[j].centroid]
+                if d < min_d:
+                    min_d = d
+                    i1, i2 = i, j
+        return vc[i1], vc[i2]
+
+    def _merge_clusters(self, c1: _Cluster, c2: _Cluster) -> _Cluster:
+        res = _Cluster()
+        res.members = list(c1.members)
+        res.centroid = c1.centroid
+        res.variance = c1.variance
+        res.members.extend(c2.members)
+        self._update_cluster_centroid(res)
+        return res
+
+    def _merge_two_clusters(self, vc: list[_Cluster]) -> None:
+        c1, c2 = self._choose_clusters_to_merge(vc)
+        if c1 is None:
+            c1, c2 = self._get_nearest_clusters(vc)
+        merged = self._merge_clusters(c1, c2)
         vc.remove(c1)
         vc.remove(c2)
         vc.append(merged)
 
-    def _split_one(self, vc: list[_Cluster]) -> None:
+    def _choose_cluster_to_split(self, vc):
         total = self._total_variance(vc)
-        cand = None
-        for _ in range(2 * len(vc)):
-            c = self._random_cluster(vc)
-            if total > 0 and (c.variance / total) > self.rng.uniform() \
-                    and len(c.members) > 1:
-                cand = c
+        cand = self._random_cluster(vc)
+        i = 0
+        max_attempts = 2 * len(vc)
+        while i < max_attempts:
+            with np.errstate(invalid="ignore", divide="ignore"):
+                q = F(cand.variance / total)
+            if q > self._random_p() and len(cand.members) > 1:
                 break
-        if cand is None:
-            # broadest cluster with >1 member
-            best = (-1.0, None)
-            for c in vc:
-                if len(c.members) > 1 and c.variance > best[0]:
-                    best = (c.variance, c)
-            cand = best[1]
-        if cand is None:
-            return
-        m = np.array(cand.members)
-        sub = self.points.D[np.ix_(m, m)]
-        far = np.unravel_index(np.argmax(sub), sub.shape)
-        a, b = int(m[far[0]]), int(m[far[1]])
-        ca, cb = _Cluster(a), _Cluster(b)
-        for p in cand.members:
-            if self.points.dist_sq(p, a) <= self.points.dist_sq(p, b):
-                ca.variance += (self.points.dist_sq(p, a) - ca.variance) / (len(ca.members) + 1)
-                ca.members.append(p)
-            else:
-                cb.variance += (self.points.dist_sq(p, b) - cb.variance) / (len(cb.members) + 1)
-                cb.members.append(p)
-        vc.remove(cand)
-        vc.append(ca)
-        vc.append(cb)
+            cand = self._random_cluster(vc)
+            i += 1
+        if i >= max_attempts:
+            return None
+        return cand
 
-    # ---- public API ---------------------------------------------------
-    def find_good_clustering(self, n: int) -> list[list[int]]:
-        """n random restarts of plain k-medoids at k_max; returns the best
-        state as [centroid, members...] lists."""
-        best_state, best_var = None, np.inf
-        for _ in range(n + 1):
-            vc = [_Cluster() for _ in range(self.k_max)]
-            for i, c in enumerate(vc):
-                c.members.append(i)
-            for p in range(self.k_max, self.num_points):
-                self._random_cluster(vc).members.append(p)
-            for c in vc:
-                self._update_centroid(c)
-            var = self.cluster(vc)
-            if var < best_var:
-                best_var = var
-                best_state = [c.copy() for c in vc]
-        return self._output(best_state)
+    def _get_broadest_cluster(self, vc):
+        max_variance = F(-1)
+        max_idx = -1
+        for i in range(1, len(vc)):  # reference defect: skips cluster 0
+            if vc[i].variance > max_variance and len(vc[i].members) > 1:
+                max_variance = vc[i].variance
+                max_idx = i
+        if max_idx < 0:
+            raise RuntimeError("no cluster found with more than one member "
+                               "(reference exit(-1), cpp:769-772)")
+        return vc[max_idx]
 
-    def simulated_annealing(self, max_var: float) -> list[list[int]]:
-        vc = [_Cluster() for _ in range(self.k_max)]
+    def _split_cluster(self, c: _Cluster) -> list[_Cluster]:
+        if len(c.members) <= 1:
+            raise RuntimeError("cannot split a cluster with one or fewer "
+                               "members (reference exit(-1), cpp:600-605)")
+        dm = self.points.D
+        far1 = far2 = -1
+        max_d = F(-1)
+        for i in range(len(c.members) - 1):
+            for j in range(i + 1, len(c.members)):
+                d = dm[c.members[i], c.members[j]]
+                if d > max_d:
+                    max_d = d
+                    far1, far2 = i, j
+        res = [_Cluster(c.members[far1]), _Cluster(c.members[far2])]
+        for m in c.members:
+            self._put_with_nearest_centroid(m, res)
+        return res
+
+    def _split_one_cluster(self, vc: list[_Cluster]) -> None:
+        to_split = self._choose_cluster_to_split(vc)
+        if to_split is None:
+            to_split = self._get_broadest_cluster(vc)
+        split = self._split_cluster(to_split)
+        vc.remove(to_split)
+        vc.append(split[0])
+        vc.append(split[1])
+
+    # ---- state helpers (cpp:252-307, 357-372) --------------------------
+    def _randomly_choose_initial_clusters(self, vc: list[_Cluster]) -> None:
+        for c in vc:
+            c.members = []
+            c.centroid = -1
+            c.variance = F(0)
         for i, c in enumerate(vc):
             c.members.append(i)
-        for p in range(self.k_max, self.num_points):
+        for p in range(len(vc), self.num_points):
             self._random_cluster(vc).members.append(p)
-        for c in vc:
-            self._update_centroid(c)
-        e = self.cluster(vc)
-        self.kT = max(e, 1e-6)
+        # reference sets variances via an out-of-bounds dist_sq(-1, m) read
+        # here; the value is dead (recomputed by cluster()) — store 0
 
-        # grow until the variance constraint passes
-        guard = 0
-        while not self._below_max_var(vc, max_var) and guard < 200:
-            guard += 1
-            if self.kT < 1:
-                self.kT = e * 10
-                for _ in range(10):
-                    if len(vc) < self.num_points:
-                        self._split_one(vc)
-            for _ in range(100):
-                nxt = [c.copy() for c in vc]
-                self._merge_two(nxt)
-                self._split_one(nxt)
-                e_next = self.cluster(nxt)
-                if self._below_max_var(nxt, max_var):
-                    vc = nxt
-                    break
-                if np.exp(-(e_next - e) / max(self.kT, 1e-9)) > self.rng.uniform():
-                    vc = nxt
-                    e = e_next
-            else:
-                self.kT *= 0.9
-                continue
-            break
-
-        # shrink keeping the smallest k that still passes
-        e = self.cluster(vc)
-        self.kT = max(e, 1.5)
-        final = [c.copy() for c in vc]
-        e_best = e
-        best = [c.copy() for c in vc]
-        while self.kT > 1.0:
-            for _ in range(len(vc) * len(vc)):
-                nxt = [c.copy() for c in vc]
-                self._merge_two(nxt)
-                self._split_one(nxt)
-                e_next = self.cluster(nxt)
-                if e_next < e_best:
-                    best = [c.copy() for c in nxt]
-                    e_best = e_next
-                if self._below_max_var(nxt, max_var):
-                    final = [c.copy() for c in nxt]
-                    if len(nxt) > 1:
-                        self._merge_two(nxt)
-                        e = self.cluster(nxt)
-                        best = [c.copy() for c in nxt]
-                        e_best = e
-                        vc = nxt
-                        self.kT = e_best * 100
-                    break
-                if np.exp(-(e_next - e) / max(self.kT, 1e-9)) > self.rng.uniform():
-                    vc = nxt
-                    e = e_next
-            self.kT *= 0.9
-        return self._output(final)
+    @staticmethod
+    def _copy_state(vc: list[_Cluster]) -> list[_Cluster]:
+        return [c.copy() for c in vc]
 
     @staticmethod
     def _output(vc: list[_Cluster]) -> list[list[int]]:
@@ -261,3 +310,87 @@ class KMedoidClusterer:
             row = [c.centroid] + [m for m in c.members if m != c.centroid]
             out.append(row)
         return out
+
+    # ---- public API (cpp:62-99, 102-229) -------------------------------
+    def find_good_clustering(self, n: int) -> list[list[int]]:
+        """n+1 random restarts of plain k-medoids at k_max; returns the
+        best state.  Re-seeds like the reference's srand (cpp:67; the
+        oracle build pins the seed through AAT_KMED_SEED)."""
+        self.rng.srand(self.seed)
+        curr = [_Cluster() for _ in range(self.k_max)]
+        self._randomly_choose_initial_clusters(curr)
+        min_variance = self.cluster(curr)
+        best = self._copy_state(curr)
+        for _ in range(n):
+            self._randomly_choose_initial_clusters(curr)
+            curr_variance = self.cluster(curr)
+            if curr_variance < min_variance:
+                min_variance = curr_variance
+                best = self._copy_state(curr)
+        return self._output(best)
+
+    def simulated_annealing(self, max_var: float) -> list[list[int]]:
+        max_var = F(max_var)
+        curr = [_Cluster() for _ in range(self.k_max)]
+        self._randomly_choose_initial_clusters(curr)
+        for c in curr:
+            self._update_cluster_centroid(c)
+        e = self.cluster(curr)
+        self.kT = e
+
+        # grow until the variance constraint passes (cpp:113-151)
+        start_shrinking = False
+        while not start_shrinking:
+            if self.kT < F(1):
+                self.kT = F(e * F(10))
+                for _ in range(10):
+                    self._split_one_cluster(curr)
+            for _ in range(100):
+                nxt = self._copy_state(curr)
+                self._merge_two_clusters(nxt)
+                self._split_one_cluster(nxt)
+                e_next = self.cluster(nxt)
+                if self._below_max_var(nxt, max_var):
+                    curr = self._copy_state(nxt)
+                    start_shrinking = True
+                    break
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    q = F(F(-F(e_next - e)) / self.kT)
+                if self._exp(q) > self._random_p():
+                    curr = self._copy_state(nxt)
+                    e = e_next
+            self.kT = F(np.float64(self.kT) * 0.9)
+
+        # shrink keeping the smallest k that still passes (cpp:153-227)
+        e = self.cluster(curr)
+        self.kT = e
+        best = self._copy_state(curr)
+        final = self._copy_state(curr)
+        e_best = e
+        while self.kT > F(1):
+            i = 0
+            while i < len(curr) * len(curr):
+                nxt = self._copy_state(curr)
+                self._merge_two_clusters(nxt)
+                self._split_one_cluster(nxt)
+                e_next = self.cluster(nxt)
+                if e_next < e_best:
+                    best = self._copy_state(nxt)
+                    e_best = e_next
+                if self._below_max_var(nxt, max_var):
+                    final = self._copy_state(nxt)
+                    self._merge_two_clusters(nxt)
+                    e = self.cluster(nxt)
+                    best = self._copy_state(nxt)
+                    e_best = e
+                    curr = self._copy_state(nxt)
+                    self.kT = F(e_best * F(100))
+                    break
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    q = F(F(-F(e_next - e)) / self.kT)
+                if self._exp(q) > self._random_p():
+                    curr = self._copy_state(nxt)
+                    e = e_next
+                i += 1
+            self.kT = F(np.float64(self.kT) * 0.9)
+        return self._output(final)

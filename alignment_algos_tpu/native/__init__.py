@@ -17,7 +17,6 @@ import ctypes
 import hashlib
 import os
 import subprocess
-import tempfile
 
 import numpy as np
 
@@ -44,8 +43,25 @@ def build_native(name: str, srcs: list[str], flags: tuple = (),
     h.update(" ".join(flags + tuple(libs)).encode())
     tag = h.hexdigest()[:12]
     cc = compiler or ("cc" if all(s.endswith(".c") for s in srcs) else "c++")
-    for outdir in (_DIR, tempfile.gettempdir()):
+    # fallback cache is per-user with 0700 perms, NOT the shared tempdir:
+    # a world-writable /tmp would let another user pre-plant the
+    # predictably-named .so and get code loaded into this process
+    user_cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME")
+        or os.path.join(os.path.expanduser("~"), ".cache"), "aat_native")
+    for outdir in (_DIR, user_cache):
+        if outdir is user_cache:
+            try:
+                os.makedirs(user_cache, mode=0o700, exist_ok=True)
+                if os.stat(user_cache).st_uid != os.getuid():
+                    continue
+            except OSError:
+                continue
         so = os.path.join(outdir, f"_{name}-{tag}.so")
+        if os.path.exists(so):
+            st = os.stat(so)
+            if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+                continue  # not ours / group-or-world writable: refuse
         if not os.path.exists(so):
             tmp = f"{so}.tmp.{os.getpid()}"
             try:

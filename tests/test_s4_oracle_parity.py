@@ -64,12 +64,15 @@ def dumps():
 
 
 def run_reference(mode: str, extra: list[str], dump: str) -> str:
-    r = subprocess.run([ORACLE, mode] + extra, input=dump,
-                       capture_output=True, text=True,
-                       env={**os.environ, "HOME": "/tmp/refbuild"},
-                       timeout=300)
-    assert r.returncode == 0, r.stderr[-2000:]
-    return r.stdout
+    # content-keyed golden cache: the slowest case needs ~80% of a 300 s
+    # budget on an idle machine and times out under concurrent suite load
+    # (round-3 verdict); replaying the recorded output makes pass/fail
+    # load-independent while any source/fixture change still re-runs
+    from oracle_cache import cached_run
+    return cached_run(
+        "s4", [ORACLE, mode] + extra, dump,
+        driver_sources=[os.path.join(ROOT, "tools", "oracle_s4.cpp")],
+        env={**os.environ, "HOME": "/tmp/refbuild"})
 
 
 def run_ours(mode: str, extra: list[str], fixture: str = "small") -> str:

@@ -140,7 +140,7 @@ def run_reference(mode, extra, dump, cwd):
     r = subprocess.run([ORACLE, mode] + extra, input=dump,
                        capture_output=True, text=True, cwd=cwd,
                        env={**os.environ, "HOME": "/tmp/refbuild"},
-                       timeout=300)
+                       timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
     return r
 
@@ -156,7 +156,7 @@ def run_ours(mode, extra, fixture, cwd):
         [sys.executable, "-m", module,
          os.path.join(DATA, tfn),
          os.path.join(DATA, qfn)] + extra,
-        capture_output=True, text=True, env=env, cwd=cwd, timeout=300)
+        capture_output=True, text=True, env=env, cwd=cwd, timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
     return r
 

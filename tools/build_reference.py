@@ -252,6 +252,18 @@ class SMAPSequence : public HMAPSequence {
                                '#include "hmap_eval.h"')
     open(p, "w").write(t)
 
+    # test-harness hygiene: find_good_clustering seeds rand() with
+    # time(NULL) (kmedoidclusterer.cpp:67), which defeats byte-parity
+    # testing; honor AAT_KMED_SEED when set (oracle_kmedoid.cpp sets it)
+    p = os.path.join(src2, "kmedoidclusterer.cpp")
+    t = open(p).read().replace(
+        "#include <time.h>", "#include <time.h>\n#include <stdlib.h>")
+    t = t.replace(
+        "srand( time(NULL) );",
+        "srand( getenv(\"AAT_KMED_SEED\") ? "
+        "atoi(getenv(\"AAT_KMED_SEED\")) : time(NULL) );")
+    open(p, "w").write(t)
+
     flags2 = [f if f != src else src2 for f in flags]
     objs2 = []
     ssss_sources = ["ali_frag.cpp", "ali_str_info.cpp",
@@ -272,7 +284,7 @@ class SMAPSequence : public HMAPSequence {
     oracle_mains = [(o, os.path.join(tools_dir, o + ".cpp"))
                     for o in ("oracle_gn2", "oracle_s4", "oracle_gn2cli",
                               "oracle_nalign2", "oracle_gnoali",
-                              "oracle_upgma")]
+                              "oracle_upgma", "oracle_kmedoid")]
     oracle_mains.append(("get_shifts", os.path.join(src2, "get_shifts.cpp")))
     for oracle, main_cpp in oracle_mains:
         exe = os.path.join(OUT, oracle)
