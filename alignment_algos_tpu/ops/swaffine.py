@@ -54,7 +54,7 @@ def _auto_kd(qp: int, b: int, esz: int, budget: int = VMEM_BUDGET) -> int:
 
 
 def _sw_kernel(gap_ref, sd_ref, out_ref, hm1, hm2, e, f, m, *, q: int, t: int,
-               qp: int, kd: int, uf: int = 2, qd_layout: bool = False):
+               qp: int, kd: int, uf: int = 2):
     """One grid step advances ``kd`` anti-diagonals (in-kernel loop over the
     (kd, qp, B) similarity block).  Blocking amortizes the per-grid-step
     pipeline cost — with one diagonal per step the fixed overhead of ~1000
@@ -111,10 +111,7 @@ def _sw_kernel(gap_ref, sd_ref, out_ref, hm1, hm2, e, f, m, *, q: int, t: int,
         ff = f[:]
         mloc = None
         for u in range(uf):
-            if qd_layout:
-                s = sd_ref[:, uf * k + u, :].astype(jnp.float32)
-            else:
-                s = sd_ref[uf * k + u].astype(jnp.float32)
+            s = sd_ref[uf * k + u].astype(jnp.float32)
             h_new, ee, ff = one_diag(d0 + u, s, h1, h2, ee, ff)
             h2, h1 = h1, h_new
             mloc = h_new if mloc is None else jnp.maximum(mloc, h_new)
@@ -176,89 +173,6 @@ def sw_affine_scores_from_skewed(sd: jax.Array, gap: jax.Array, *, q: int,
             transcendentals=0),
     )(gap, sd)
     return out[0]
-
-
-@functools.partial(jax.jit, static_argnames=("q", "t", "kd", "uf"))
-def sw_affine_scores_from_skewed_qd(sd: jax.Array, gap: jax.Array, *, q: int,
-                                    t: int, kd: int | None = None,
-                                    uf: int = 2) -> jax.Array:
-    """Kernel entry for the (Qp, D, B) similarity layout produced by
-    :func:`skewed_qd_similarity_screen` — the row-shifted skew needs no
-    lane-crossing transpose, so the whole producer pass is one MXU matmul
-    plus a pad; the kernel slices diagonal u out of the (qp, kd, b) block
-    along the middle (sublane-major) axis."""
-    qp, nd, b = sd.shape
-    if kd is None:
-        kd = _auto_kd(qp, b, sd.dtype.itemsize)
-        kd = max(kd, uf)
-    if kd % uf:
-        raise ValueError("kd must be a multiple of uf")
-    nblk = -(-nd // kd)
-    if nblk * kd != nd:
-        sd = jnp.pad(sd, ((0, 0), (0, nblk * kd - nd), (0, 0)))
-    kernel = functools.partial(_sw_kernel, q=q, t=t, qp=qp, kd=kd, uf=uf,
-                               qd_layout=True)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((1, b), jnp.float32),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
-            grid=(nblk,),
-            in_specs=[
-                pl.BlockSpec((1, 2), lambda d: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((qp, kd, b), lambda d: (0, d, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, b), lambda d: (0, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((qp, b), jnp.float32),  # H at d-1
-                pltpu.VMEM((qp, b), jnp.float32),  # H at d-2
-                pltpu.VMEM((qp, b), jnp.float32),  # E
-                pltpu.VMEM((qp, b), jnp.float32),  # F
-                pltpu.VMEM((qp, b), jnp.float32),  # running max
-            ],
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=12 * q * t * b, bytes_accessed=nd * qp * b * sd.dtype.itemsize,
-            transcendentals=0),
-    )(gap, sd)
-    return out[0]
-
-
-@functools.partial(jax.jit, static_argnames=("sim_dtype",))
-def skewed_qd_similarity_screen(q_codes: jax.Array, t_codes: jax.Array,
-                                table: jax.Array,
-                                sim_dtype=jnp.float32) -> jax.Array:
-    """Screen-shaped similarity producer: ONE query (Q,) against B templates
-    (B, T), emitted directly in the transpose-free (Qp, D, Bp) skewed
-    layout.
-
-    The contraction is a single un-batched MXU matmul (Q, A) @ (A, T*B);
-    the diagonal skew is the pad/flatten/reshape trick applied along the
-    middle axis — row i of the (Q, W-1, B) view is shifted right by i, so
-    [i, d, b] = S[i, d-i, b].  No axis ever crosses the 128-lane dimension,
-    which makes this ~4x cheaper than the batched (B, Q, T) + transpose
-    formulation."""
-    (q,) = q_codes.shape
-    b, t = t_codes.shape
-    a = table.shape[0]
-    bp = _round_up(b, 128)
-    qp = _round_up(q, 8)
-    qoh = jax.nn.one_hot(q_codes, a, dtype=jnp.float32)          # (Q, A)
-    qt = jnp.dot(qoh, table.astype(jnp.float32),
-                 preferred_element_type=jnp.float32)             # (Q, A)
-    # template one-hot directly in (A, T, B): one-hot of the transposed
-    # codes along a leading class axis (codes transpose is trivial)
-    toh = jax.nn.one_hot(t_codes.T, a, dtype=jnp.float32, axis=0)
-    s = jnp.dot(qt, toh.reshape(a, t * b),
-                preferred_element_type=jnp.float32)              # (Q, T*B)
-    s = s.reshape(q, t, b).astype(sim_dtype)
-    s = jnp.pad(s, ((0, 0), (0, 0), (0, bp - b)))                # (Q, T, Bp)
-    w = q + t
-    padded = jnp.pad(s, ((0, 0), (0, q), (0, 0)))                # (Q, W, Bp)
-    flat = padded.reshape(q * w, bp)[: q * (w - 1)]
-    sk = flat.reshape(q, w - 1, bp)                              # [i, d, b]
-    return jnp.pad(sk, ((0, qp - q), (0, 0), (0, 0)))            # (Qp, D, Bp)
 
 
 def _sw_tb_kernel(gap_ref, sd_ref, tb_ref, m_ref, dat_ref, hm1, hm2, e, f,

@@ -47,8 +47,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _sw_strip_kernel(gap_ref, sd_ref, out_ref, hm1, hm2, e, f, m, bh, bf,
-                     sth, stf, *, q: int, t: int, sp: int, kd: int, uf: int,
-                     qd_layout: bool = False):
+                     sth, stf, *, q: int, t: int, sp: int, kd: int, uf: int):
     s_idx = pl.program_id(0)
     blk = pl.program_id(1)
     ns = pl.num_programs(0)
@@ -107,10 +106,7 @@ def _sw_strip_kernel(gap_ref, sd_ref, out_ref, hm1, hm2, e, f, m, bh, bf,
             mloc = None
             for u in range(uf):
                 du = uf * k + u
-                if qd_layout:
-                    s = sd_ref[0, :, du, :].astype(jnp.float32)
-                else:
-                    s = sd_ref[0, du].astype(jnp.float32)
+                s = sd_ref[0, du].astype(jnp.float32)
                 h_new, ee, ff = one_diag(
                     blk * kd + du, s, h1, h2, ee, ff,
                     hb_blk[du + 7:du + 8], hb_blk[du + 6:du + 7],
@@ -151,20 +147,33 @@ def _sw_strip_kernel(gap_ref, sd_ref, out_ref, hm1, hm2, e, f, m, bh, bf,
         out_ref[0] = jnp.max(m[:], axis=0)
 
 
-def _striped_call(sd, gap, *, q, t, strip, kd, uf, qd_layout):
-    if qd_layout:
-        ns, sp, dsp, b = sd.shape
-        sim_spec = pl.BlockSpec((1, sp, kd, b), lambda s, d: (s, 0, d, 0))
-    else:
-        ns, dsp, sp, b = sd.shape
-        sim_spec = pl.BlockSpec((1, kd, sp, b), lambda s, d: (s, d, 0, 0))
+def vmem_ok(q: int, t: int, b: int, strip: int = 64, kd: int = 16) -> bool:
+    """Bound the strip kernel's VMEM footprint (5 state slabs + 2 boundary
+    buffers + staging + double-buffered sim block) against the budget, so
+    screen wrappers can chunk or fall back instead of hitting a scoped-vmem
+    compile OOM (round-3 advisor finding)."""
+    sp = strip
+    dsp = _round_up(sp + t - 1, kd)
+    bp = _round_up(b, 128)
+    scratch = (5 * sp + 2 * (dsp + sp) + 2 * kd) * bp * 4
+    blocks = 2 * kd * sp * bp          # int8 sim block, double-buffered
+    return scratch + blocks <= VMEM_BUDGET
+
+
+def _striped_call(sd, gap, *, q, t, strip, kd, uf):
+    ns, dsp, sp, b = sd.shape
+    sim_spec = pl.BlockSpec((1, kd, sp, b), lambda s, d: (s, d, 0, 0))
     if sp != strip or strip % 8 or kd % 8 or kd % uf or dsp % kd:
         raise ValueError("bad strip/kd/uf geometry")
     if strip < kd + 8:
         raise ValueError("strip must be >= kd + 8 (boundary rotation)")
+    if not vmem_ok(q, t, b, strip=strip, kd=kd):
+        raise ValueError(
+            f"strip kernel scratch for t={t}, b={b} exceeds the VMEM "
+            "budget; chunk the batch axis or use the rowscan/xla engine")
     nblk = dsp // kd
     kernel = functools.partial(_sw_strip_kernel, q=q, t=t, sp=sp, kd=kd,
-                               uf=uf, qd_layout=qd_layout)
+                               uf=uf)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, b), jnp.float32),
@@ -206,20 +215,7 @@ def sw_affine_scores_striped(sd: jax.Array, gap: jax.Array, *, q: int,
     :func:`strip_skewed_similarity_from_codes`; gap: (1, 2) [gi, ge].
     Returns (B,) local alignment scores, bit-identical to
     swaffine.sw_affine_scores_from_skewed / sw_affine_scores_xla."""
-    return _striped_call(sd, gap, q=q, t=t, strip=strip, kd=kd, uf=uf,
-                         qd_layout=False)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("q", "t", "strip", "kd", "uf"))
-def sw_affine_scores_striped_qd(sd: jax.Array, gap: jax.Array, *, q: int,
-                                t: int, strip: int = 64, kd: int = 16,
-                                uf: int = 4) -> jax.Array:
-    """Kernel entry for the transpose-free (NS, Sp, DSp, B) layout from
-    :func:`strip_skewed_similarity_qd`: the per-diagonal similarity is
-    sliced from the block's middle (sublane-major) axis in-kernel."""
-    return _striped_call(sd, gap, q=q, t=t, strip=strip, kd=kd, uf=uf,
-                         qd_layout=True)
+    return _striped_call(sd, gap, q=q, t=t, strip=strip, kd=kd, uf=uf)
 
 
 def _strip_sim(q_codes, t_codes, table, strip: int, kd: int, sim_dtype,
@@ -280,20 +276,6 @@ def strip_skewed_similarity_from_codes(q_codes: jax.Array,
     than the monolithic skew's (Q+T-1)*Qp*B at S=64, T=Q=512."""
     sk = _strip_sim(q_codes, t_codes, table, strip, kd, sim_dtype, int8_mm)
     return jnp.transpose(sk, (0, 2, 1, 3))                   # (NS,DSp,S,Bp)
-
-
-@functools.partial(jax.jit, static_argnames=("strip", "kd", "sim_dtype",
-                                             "int8_mm"))
-def strip_skewed_similarity_qd(q_codes: jax.Array, t_codes: jax.Array,
-                               table: jax.Array, strip: int = 64,
-                               kd: int = 16, sim_dtype=jnp.int8,
-                               int8_mm: bool = False) -> jax.Array:
-    """Transpose-free producer variant: (NS, Sp, DSp, Bp) row-major
-    ([ns, i, d, b]); pairs with sw_affine_scores_striped_qd, which slices
-    diagonal d out of the block's middle (sublane-major) axis in-kernel
-    instead of paying the 2x-array-size relayout here."""
-    return _strip_sim(q_codes, t_codes, table, strip, kd, sim_dtype,
-                      int8_mm)
 
 
 @functools.partial(jax.jit, static_argnames=("strip", "kd", "sim_dtype"))

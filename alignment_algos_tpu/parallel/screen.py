@@ -54,15 +54,24 @@ def _pad_library(t_codes: np.ndarray, shards: int):
     return t_codes, n
 
 
-@functools.partial(jax.jit, static_argnames=("q", "t", "k", "use_pallas",
+@functools.partial(jax.jit, static_argnames=("q", "t", "k", "engine",
                                              "int8_sim"))
 def _screen_step(q_codes, t_codes, table, gap, valid_mask, *, q: int, t: int,
-                 k: int, use_pallas: bool, int8_sim: bool = False):
+                 k: int, engine: str, int8_sim: bool = False):
     b = t_codes.shape[0]
-    if use_pallas:
-        # strip-mined engine (ops/swstrip): ~89% band occupancy and a
-        # single-matmul producer for the one-query screen shape; int8
-        # similarity streaming only when the host proved the table integral
+    if engine == "rowscan":
+        # row-scan prefix-max engine (ops/swscan, round 4): consumes the
+        # one-matmul (Q, T, B) similarity directly — no skew/transpose
+        # passes; e2e rate == kernel rate.  Integer tables only (the
+        # caller gates via swscan.supported)
+        from ..ops import swscan
+        sim = swscan.rowscan_similarity_screen(
+            q_codes, t_codes, table,
+            sim_dtype=jnp.int8 if int8_sim else jnp.float32)
+        scores = swscan.sw_rowscan_scores(sim, gap, q=q, t=t)[:b]
+    elif engine == "strip":
+        # strip-mined wavefront engine (ops/swstrip, round 3): ~89% band
+        # occupancy; kept for non-integral tables on TPU
         from ..ops import swstrip
         sd = swstrip.strip_skewed_similarity_screen(
             q_codes, t_codes, table,
@@ -84,25 +93,48 @@ def _screen_step(q_codes, t_codes, table, gap, valid_mask, *, q: int, t: int,
     return topk_scores, topk_idx
 
 
+def _pick_engine(engine, table, gi, ge, q, t, b_shard) -> str:
+    """Resolve the per-chip engine: "rowscan" (round-4 default when the
+    exactness gate passes), "strip" (wavefront fallback incl. non-integer
+    tables), or "xla" (portable scan twin, also the non-TPU path).  An
+    explicit engine always wins (round-3 advisor: no un-overridable
+    platform checks)."""
+    if engine is not None:
+        return engine
+    if jax.devices()[0].platform != "tpu":
+        return "xla"
+    from ..ops import swscan, swstrip
+    if swscan.supported(table, gi, ge, q, t, b_shard):
+        return "rowscan"
+    if swstrip.vmem_ok(q, t, b_shard):
+        return "strip"
+    return "xla"
+
+
 def screen_library(q_codes: np.ndarray, t_codes: np.ndarray,
                    table: np.ndarray, gi: float, ge: float, k: int = 10,
-                   mesh: Mesh | None = None, use_pallas: bool | None = None):
+                   mesh: Mesh | None = None, use_pallas: bool | None = None,
+                   engine: str | None = None):
     """One query against a sharded template library.
 
     q_codes: (Q,) int codes; t_codes: (N, T) int codes (padded per template);
     returns (scores, indices) of the global top-k, identical on every host.
+    engine: None = auto (see _pick_engine), or "rowscan"/"strip"/"xla";
+    use_pallas is the legacy alias (False forces "xla").
     """
     if mesh is None:
         mesh = default_mesh()
     axis = mesh.axis_names[0]
     shards = mesh.devices.size
-    if use_pallas is None:
-        use_pallas = jax.devices()[0].platform == "tpu"
+    if engine is None and use_pallas is not None:
+        engine = None if use_pallas else "xla"
 
     t_codes, n_real = _pad_library(np.asarray(t_codes, dtype=np.int32), shards)
     q = int(np.asarray(q_codes).shape[0])
     t = int(t_codes.shape[1])
     k = min(k, n_real)
+    engine = _pick_engine(engine, table, gi, ge, q, t,
+                          t_codes.shape[0] // shards)
 
     t_dev = _put(mesh, t_codes, P(axis, None))
     q_dev = _put(mesh, np.asarray(q_codes, np.int32), P())
@@ -114,7 +146,7 @@ def screen_library(q_codes: np.ndarray, t_codes: np.ndarray,
     int8_sim = bool(np.all(tbl == np.round(tbl)) and np.abs(tbl).max() < 127)
     with mesh:
         scores, idx = _screen_step(q_dev, t_dev, table_dev, gap, valid,
-                                   q=q, t=t, k=k, use_pallas=use_pallas,
+                                   q=q, t=t, k=k, engine=engine,
                                    int8_sim=int8_sim)
     return np.asarray(scores), np.asarray(idx)
 
@@ -147,25 +179,32 @@ def _grid_step(q_codes, t_codes, table, gap, valid, *, q: int, t: int, k: int):
     return scores, topk_scores, topk_idx
 
 
-def _grid_scores_strip(mesh, qd, td, tab, gap, *, q: int, t: int,
-                       int8_sim: bool):
+def _grid_scores_tpu(mesh, qd, td, tab, gap, *, q: int, t: int,
+                     int8_sim: bool, engine: str):
     """TPU all-pairs scores: shard_map over the (qb, lib) mesh, each device
     scanning its local query block against its local library shard through
-    the strip engine — queries stay parallel ACROSS the mesh (a bare
-    lax.scan over a qb-sharded axis would serialize and force a gather)
-    while each device amortizes its dispatch over its whole block."""
-    from ..ops import swstrip
+    the selected per-chip engine — queries stay parallel ACROSS the mesh
+    (a bare lax.scan over a qb-sharded axis would serialize and force a
+    gather) while each device amortizes its dispatch over its whole
+    block."""
+    from ..ops import swscan, swstrip
     qb_ax, lib_ax = mesh.axis_names
+    sim_dtype = jnp.int8 if int8_sim else jnp.float32
 
     def local_block(qblk, tblk, tbl, gp):
         bloc = tblk.shape[0]
 
         def body(_, qc):
-            sd = swstrip.strip_skewed_similarity_screen(
-                qc, tblk, tbl,
-                sim_dtype=jnp.int8 if int8_sim else jnp.float32)
-            return 0, swstrip.sw_affine_scores_striped(
-                sd, gp, q=q, t=t)[:bloc]
+            if engine == "rowscan":
+                sim = swscan.rowscan_similarity_screen(qc, tblk, tbl,
+                                                       sim_dtype=sim_dtype)
+                sc = swscan.sw_rowscan_scores(sim, gp, q=q, t=t)[:bloc]
+            else:
+                sd = swstrip.strip_skewed_similarity_screen(
+                    qc, tblk, tbl, sim_dtype=sim_dtype)
+                sc = swstrip.sw_affine_scores_striped(sd, gp, q=q,
+                                                      t=t)[:bloc]
+            return 0, sc
         _, sc = jax.lax.scan(body, 0, qblk)
         return sc                                   # (nq_loc, nt_loc)
 
@@ -184,10 +223,12 @@ def _grid_topk(scores, valid, *, k: int):
 
 def screen_grid(q_codes: np.ndarray, t_codes: np.ndarray, table: np.ndarray,
                 gi: float, ge: float, k: int = 5,
-                mesh: Mesh | None = None):
+                mesh: Mesh | None = None, engine: str | None = None):
     """Many queries x sharded library on a 2-D (qb, lib) mesh.
 
     Returns (scores (nq, nt), topk_scores (nq, k), topk_idx (nq, k)).
+    engine: None = auto per _pick_engine; "rowscan"/"strip" force a TPU
+    kernel, "xla" forces the portable scan path on any platform.
     """
     if mesh is None:
         mesh = grid_mesh((1, max(1, len(jax.devices()))))
@@ -212,13 +253,15 @@ def screen_grid(q_codes: np.ndarray, t_codes: np.ndarray, table: np.ndarray,
     gap = jax.device_put(jnp.array([[gi, ge]], dtype=jnp.float32), repl)
     valid = jax.device_put(jnp.arange(t_codes_p.shape[0]) < nt,
                            NamedSharding(mesh, P(lib_ax)))
+    engine = _pick_engine(engine, table, gi, ge, q, t,
+                          t_codes_p.shape[0] // int(mesh.shape[lib_ax]))
     with mesh:
-        if jax.devices()[0].platform == "tpu":
+        if engine in ("rowscan", "strip"):
             tblh = np.asarray(table)
             int8_sim = bool(np.all(tblh == np.round(tblh))
                             and np.abs(tblh).max() < 127)
-            scores = _grid_scores_strip(mesh, qd, td, tab, gap, q=q, t=t,
-                                        int8_sim=int8_sim)
+            scores = _grid_scores_tpu(mesh, qd, td, tab, gap, q=q, t=t,
+                                      int8_sim=int8_sim, engine=engine)
             ts, ti = _grid_topk(scores, valid, k=k)
         else:
             scores, ts, ti = _grid_step(qd, td, tab, gap, valid,

@@ -3,18 +3,21 @@
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Measures end-to-end cell updates/second of the strip-mined Pallas wavefront
-engine (ops/swstrip: one-hot MXU similarity + per-strip skew + banded
-anti-diagonal DP with on-chip boundary rotation) in the all-vs-all screen
-shape of BASELINE.md config 2: ITERS distinct query rows scanned against a
-resident 512-template library inside ONE device dispatch (the deployment's
-remote tunnel costs ~5 ms per dispatch; a per-dispatch loop measures the
-tunnel, not the chip).
+Measures end-to-end cell updates/second of the row-scan prefix-max Pallas
+engine (ops/swscan, round 4: one int8 MXU similarity matmul consumed in
+its natural (Q, T, B) layout — no skew or transpose passes, so e2e equals
+the kernel rate) in the all-vs-all screen shape of BASELINE.md config 2:
+ITERS distinct query rows scanned against a resident 512-template library
+inside ONE device dispatch (the deployment's remote tunnel costs ~5 ms per
+dispatch; a per-dispatch loop measures the tunnel, not the chip).
 
-vs_baseline compares against the reference binary's measured DP throughput
-(aa_ali.cpp path, the O(Q*T*(Q+T)) general-gap recurrence, -O3, single
-thread on this machine): 0.62 MCUPS at 512x512 — measured live when the
-oracle binary is present, else this recorded constant.
+vs_baseline divides by the RECORDED median of the reference binary's
+measured DP throughput (aa_ali.cpp path, the O(Q*T*(Q+T)) general-gap
+recurrence, -O3, single thread on this machine): 0.62 MCUPS at 512x512.
+A live re-measurement (when the oracle binary is present) is reported in
+detail.reference_mcups_live but deliberately does NOT move the headline —
+round 3's vs_baseline swung 6% between runs purely on the live
+re-measurement.
 """
 
 from __future__ import annotations
@@ -41,25 +44,25 @@ def _short_err(e: BaseException, limit: int = 200) -> str:
 
 REF_BASELINE_CUPS = 0.62e6  # measured: /tmp/refbuild/aaa, 512x512, see above
 
-# production engine configuration (round 3: tools/r3_sweep*.py on the v5e):
-# strip-mined wavefront kernel (ops/swstrip, S=64 rows per strip -> ~89%
-# band occupancy), int8 similarity streaming, 16 diagonals per grid step
-# with 4 chained through temporaries.  The headline runs the all-vs-all
-# screen shape of BASELINE config 2 — ITERS query rows scanned against a
-# resident 512-template library in ONE device dispatch, because the
-# remote-tunnel deployment adds ~5 ms of fixed cost per dispatch
+# production engine configuration (round 4: tools/r4_probe.py on the v5e):
+# row-scan prefix-max kernel (ops/swscan, two-level CHUNK=16 cummax for
+# the E recurrence, 8 query rows per grid step), int8 similarity from one
+# MXU contraction consumed in its natural layout.  The headline runs the
+# all-vs-all screen shape of BASELINE config 2 — ITERS query rows scanned
+# against a resident 512-template library in ONE device dispatch, because
+# the remote-tunnel deployment adds ~5 ms of fixed cost per dispatch
 # (tools/ablate_kernel.py: DMA-only and full kernels cost identical wall
 # time), which a per-dispatch loop would measure instead of the device.
 B = 512
 Q = T = 512
 GI, GE = 11.0, 1.0
 ITERS = 32
-STRIP, KD, UF = 64, 16, 4
 
 
 def measure_reference() -> tuple:
-    """Live-measure the reference binary if available.  Returns
-    (cells/sec, seconds for the 512x512 run)."""
+    """Live-measure the reference binary if available (detail only; the
+    headline pins the recorded median).  Returns (cells/sec, seconds for
+    the 512x512 run)."""
     aaa = "/tmp/refbuild/aaa"
     blosum = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "tests", "data", "BLOSUM62")
@@ -242,7 +245,7 @@ def config4_hmap_profile() -> dict:
 def main() -> int:
     import jax
     import jax.numpy as jnp
-    from alignment_algos_tpu.ops import swstrip
+    from alignment_algos_tpu.ops import swscan
 
     # Honest-measurement methodology (important on remote-tunneled devices,
     # which deduplicate identical dispatches and whose block_until_ready is
@@ -265,10 +268,9 @@ def main() -> int:
         # int8 similarity is exact for integer substitution tables; the DP
         # kernel accumulates in float32
         def body(a, qc):
-            sd = swstrip.strip_skewed_similarity_screen(
-                qc, tcodes, tbl, strip=STRIP, kd=KD, sim_dtype=jnp.int8)
-            sc = swstrip.sw_affine_scores_striped(
-                sd, gp, q=Q, t=T, strip=STRIP, kd=KD, uf=UF)
+            sim = swscan.rowscan_similarity_screen(qc, tcodes, tbl,
+                                                   sim_dtype=jnp.int8)
+            sc = swscan.sw_rowscan_scores(sim, gp, q=Q, t=T)
             return a + jnp.sum(sc), None
         acc, _ = jax.lax.scan(body, acc, qrows)
         return acc
@@ -300,20 +302,19 @@ def main() -> int:
     dt = per_batch * ITERS
 
     # kernel-proper throughput: the DP engine alone on device-resident
-    # pre-skewed similarity (the screen steady state once similarity
-    # production is amortized/overlapped); the staged stack is 151 MB per
+    # pre-built similarity (the screen steady state once similarity
+    # production is amortized/overlapped); the staged stack is 134 MB per
     # step of HBM, so fewer steps
     k_long, k_short = 24, 4
-    sds = jnp.stack([swstrip.strip_skewed_similarity_screen(
-        qcs[i % ITERS], lib, table, strip=STRIP, kd=KD, sim_dtype=jnp.int8)
+    sds = jnp.stack([swscan.rowscan_similarity_screen(
+        qcs[i % ITERS], lib, table, sim_dtype=jnp.int8)
         for i in range(k_long)])
     sds.block_until_ready()
 
     @jax.jit
     def run_kernel(sd_stack, acc):
         def body(a, sd):
-            sc = swstrip.sw_affine_scores_striped(
-                sd, gap, q=Q, t=T, strip=STRIP, kd=KD, uf=UF)
+            sc = swscan.sw_rowscan_scores(sd, gap, q=Q, t=T)
             return a + jnp.sum(sc), None
         acc, _ = jax.lax.scan(body, acc, sd_stack)
         return acc
@@ -323,7 +324,7 @@ def main() -> int:
 
     cells = B * Q * T * ITERS
     cups = cells / dt
-    ref, ref_sec = measure_reference()
+    ref_live, ref_sec = measure_reference()
 
     from alignment_algos_tpu.scoring.submatrix import BlosumMatrix as _BM
     blm = _BM(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -345,14 +346,15 @@ def main() -> int:
         "metric": "batched_sw_affine_cell_updates_per_sec",
         "value": round(cups / 1e9, 3),
         "unit": "GCUPS",
-        "vs_baseline": round(cups / ref, 1),
+        "vs_baseline": round(cups / REF_BASELINE_CUPS, 1),
         "detail": {
-            "batch": B, "q": Q, "t": T, "iters": ITERS, "strip": STRIP,
-            "kd": KD, "uf": UF, "engine": "swstrip/scan-1-dispatch",
+            "batch": B, "q": Q, "t": T, "iters": ITERS,
+            "engine": "swscan-rowscan/scan-1-dispatch",
             "seconds": round(dt, 4),
             "kernel_only_gcups": round(cells / dt_kernel / 1e9, 3),
             "device": str(jax.devices()[0]),
-            "reference_mcups": round(ref / 1e6, 3),
+            "reference_mcups": round(REF_BASELINE_CUPS / 1e6, 3),
+            "reference_mcups_live": round(ref_live / 1e6, 3),
             "configs": configs,
         },
     }

@@ -191,38 +191,6 @@ def test_sw_traceback_zero_score_lane():
     assert scores[0] == 0.0 and paths[0] == []
 
 
-@pytest.mark.parametrize("dt", ["float32", "int8"])
-def test_qd_layout_screen_path_matches(dt):
-    """Transpose-free (Qp, D, B) screen producer + qd kernel == the
-    (D, Qp, B) path, bit-exact."""
-    import jax.numpy as jnp2
-    rng = np.random.default_rng(12)
-    q, t, b = 11, 14, 6
-    qc = jnp.asarray(rng.integers(0, 20, (q,)), jnp.int32)
-    tc = jnp.asarray(rng.integers(0, 20, (b, t)), jnp.int32)
-    table = jnp.asarray(rng.integers(-4, 12, (20, 20)).astype(np.float32))
-    gi, ge = 11.0, 1.0
-    gap = jnp.array([[gi, ge]], dtype=jnp.float32)
-    sim_dtype = dict(float32=jnp2.float32, int8=jnp2.int8)[dt]
-
-    qb = jnp.broadcast_to(qc[None, :], (b, q))
-    ref = np.asarray(swaffine.sw_affine_batch_xla(qb, tc, table, gi, ge))
-
-    sd_qd = swaffine.skewed_qd_similarity_screen(qc, tc, table,
-                                                 sim_dtype=sim_dtype)
-    assert sd_qd.shape == (16, q + t - 1, 128)
-    with _interp():
-        got = np.asarray(swaffine.sw_affine_scores_from_skewed_qd(
-            sd_qd, gap, q=q, t=t))[:b]
-    np.testing.assert_array_equal(got, ref)
-    # layout equivalence: qd skew is the transpose of the dqb skew
-    sd_ref = np.asarray(swaffine.skewed_similarity_from_codes(
-        qb, tc, table, sim_dtype=sim_dtype))
-    np.testing.assert_array_equal(
-        np.transpose(np.asarray(sd_qd), (1, 0, 2))[:, :8, :],
-        sd_ref[:, :8, :])
-
-
 @pytest.mark.parametrize("q,t,seed", [(8, 8, 3), (13, 10, 4), (24, 17, 5)])
 def test_sw_tb_xla_twin_matches_kernel(q, t, seed):
     """The portable XLA traceback engine emits bit-identical codes, running

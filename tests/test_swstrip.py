@@ -63,30 +63,6 @@ def test_striped_scores_bit_equal_monolithic(q, t, strip, kd, uf, seed):
     np.testing.assert_array_equal(got[:b], oracle)
 
 
-@pytest.mark.parametrize("int8_mm", [False, True])
-def test_striped_qd_layout_bit_equal(int8_mm):
-    """Transpose-free qd producer + middle-axis-slicing kernel variant
-    (and the int8 MXU path) must match the row-layout engine bit-for-bit."""
-    rng = np.random.default_rng(11)
-    b, q, t = 5, 40, 24
-    qc = jnp.asarray(rng.integers(0, 20, (b, q)), jnp.int32)
-    tc = jnp.asarray(rng.integers(0, 20, (b, t)), jnp.int32)
-    table = jnp.asarray(rng.integers(-4, 12, (20, 20)).astype(np.float32))
-    gap = jnp.array([[11.0, 1.0]], dtype=jnp.float32)
-    sd = swstrip.strip_skewed_similarity_from_codes(qc, tc, table,
-                                                    strip=16, kd=8)
-    sd_qd = swstrip.strip_skewed_similarity_qd(qc, tc, table, strip=16,
-                                               kd=8, int8_mm=int8_mm)
-    assert np.array_equal(np.asarray(sd),
-                          np.asarray(jnp.transpose(sd_qd, (0, 2, 1, 3))))
-    with _interp():
-        ref = np.asarray(swstrip.sw_affine_scores_striped(
-            sd, gap, q=q, t=t, strip=16, kd=8, uf=2))
-        got = np.asarray(swstrip.sw_affine_scores_striped_qd(
-            sd_qd, gap, q=q, t=t, strip=16, kd=8, uf=2))
-    np.testing.assert_array_equal(got, ref)
-
-
 def test_striped_screen_shape_bit_equal():
     """One-query-vs-library producer (single MXU matmul) must reproduce
     the batched engine's scores bit-for-bit."""

@@ -113,6 +113,46 @@ print("ALL_OK")
 
 
 def test_strip_kernel_mosaic_bit_parity_on_device():
-    """The strip-mined SW kernel (the production screen engine on TPU)
+    """The strip-mined SW kernel (the wavefront fallback engine on TPU)
     must compile under Mosaic and match the XLA twin bit-for-bit."""
     _run_on_device(_STRIP_PROG)
+
+
+_ROWSCAN_PROG = r"""
+import numpy as np, sys
+import jax, jax.numpy as jnp
+from alignment_algos_tpu.ops import swaffine, swscan
+plat = jax.devices()[0].platform
+assert plat == "tpu", f"not a TPU: {plat}"
+rng = np.random.default_rng(1)
+table = jnp.asarray(rng.integers(-6, 12, (20, 20)).astype(np.float32))
+for b, q, t in [(130, 96, 256), (512, 512, 512)]:
+    qc = jnp.asarray(rng.integers(0, 20, (b, q)), jnp.int32)
+    tc = jnp.asarray(rng.integers(0, 20, (b, t)), jnp.int32)
+    ref = np.asarray(swaffine.sw_affine_batch_xla(qc, tc, table, 11.0, 1.0))
+    got = np.asarray(swscan.sw_rowscan_batch(qc, tc, table, 11.0, 1.0))
+    assert np.array_equal(got, ref), f"rowscan batch mismatch at {(b, q, t)}"
+    sg = np.asarray(swscan.sw_rowscan_screen(qc[0], tc, table, 11.0, 1.0))
+    ref1 = np.asarray(swaffine.sw_affine_batch_xla(
+        jnp.broadcast_to(qc[0], (b, q)), tc, table, 11.0, 1.0))
+    assert np.array_equal(sg, ref1), f"rowscan screen mismatch at {(b, q, t)}"
+    print(f"{b}x{q}x{t} ok", flush=True)
+# 1-D sharded library screen routes through rowscan on TPU by default and
+# must match the explicit xla engine byte for byte
+from alignment_algos_tpu.parallel import screen as ps
+lib = rng.integers(0, 20, (100, 256)).astype(np.int32)
+qs = rng.integers(0, 20, 96).astype(np.int32)
+tbl = np.asarray(table)
+s1, i1 = ps.screen_library(qs, lib, tbl, 11.0, 1.0, k=10)
+s2, i2 = ps.screen_library(qs, lib, tbl, 11.0, 1.0, k=10, engine="xla")
+assert np.array_equal(s1, s2) and np.array_equal(i1, i2), "engine mismatch"
+print("screen ok", flush=True)
+print("ALL_OK")
+"""
+
+
+def test_rowscan_kernel_mosaic_bit_parity_on_device():
+    """The row-scan prefix-max kernel (the round-4 production screen
+    engine) must compile under Mosaic and match the Gotoh XLA twin
+    bit-for-bit, including through the sharded screen wrapper."""
+    _run_on_device(_ROWSCAN_PROG)

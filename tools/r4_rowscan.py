@@ -41,14 +41,26 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _rowscan_kernel(gap_ref, s_ref, out_ref, hprev, f, m, cmbuf, cons, *, q: int,
-                    t: int, ku: int, nsteps: int, strategy: str):
+import os as _os
+CHUNK = int(_os.environ.get("AAT_RS_CHUNK", "16"))
+KU = int(_os.environ.get("AAT_RS_KU", "8"))
+
+
+def _rowscan_kernel(gap_ref, s_ref, out_ref, hprev, f, m, cons,
+                    csml, *, q: int, t: int, ku: int, nsteps: int,
+                    strategy: str):
     # cons layout (leading index): 0 = u bias (ge*j - gi), 1 = E un-bias
     # (ge*(j-1)), 2 = E j==0 fill (NEG at 0), 3 = diag j==0 fill (0 at 0,
-    # else 1), 4+k = doubling penalty for shift 2^k (NEG where j < 2^k)
+    # else 1), 4+k = doubling penalty for shift 2^k — full-range for "dbl"
+    # (NEG where j < 2^k), chunk-local for "lvl" (NEG where j%CHUNK < 2^k).
+    # csml: (nsmall, nc, 1) penalties for the chunk-carry scan + its
+    # exclusive shift fill at leading index nsmall.
     i = pl.program_id(0)
     gi = gap_ref[0, 0]
     ge = gap_ref[0, 1]
+    nc = t // CHUNK
+    nlocal = int(np.log2(CHUNK))
+    nsmall = max(int(np.ceil(np.log2(nc))), 0)
 
     @pl.when(i == 0)
     def _():
@@ -59,17 +71,29 @@ def _rowscan_kernel(gap_ref, s_ref, out_ref, hprev, f, m, cmbuf, cons, *, q: int
         jj = jji.astype(jnp.float32)
         cons[0] = ge * jj - gi
         cons[1] = ge * (jj - 1.0)
-        cons[2] = jnp.where(jji == 0, jnp.float32(NEG), jnp.float32(0.0))
+        # fused E adjust: NEG fill at j==0 plus the -ge*(j-1) un-bias
+        cons[2] = jnp.where(jji == 0, jnp.float32(NEG),
+                            jnp.float32(0.0)) - (ge * (jj - 1.0))
         cons[3] = jnp.where(jji == 0, jnp.float32(0.0), jnp.float32(1.0))
         s = 1
-        for k in range(nsteps):
-            cons[4 + k] = jnp.where(jji >= s, jnp.float32(0.0),
+        kmax = nlocal if strategy == "lvl" else nsteps
+        jmod = jji % CHUNK if strategy == "lvl" else jji
+        for k in range(kmax):
+            cons[4 + k] = jnp.where(jmod >= s, jnp.float32(0.0),
                                     jnp.float32(NEG))
             s *= 2
+        if strategy == "lvl":
+            kki = jax.lax.broadcasted_iota(jnp.int32, (nc, 1), 0)
+            s = 1
+            for k in range(nsmall):
+                csml[k] = jnp.where(kki >= s, jnp.float32(0.0),
+                                    jnp.float32(NEG))
+                s *= 2
+            csml[nsmall] = jnp.where(kki == 0, jnp.float32(NEG),
+                                     jnp.float32(0.0))
 
     gvec_u = cons[0]
-    gvec_e = cons[1]
-    e_fill = cons[2]
+    e_adj = cons[2]
     d_fill = cons[3]
 
     for r in range(ku):
@@ -77,18 +101,41 @@ def _rowscan_kernel(gap_ref, s_ref, out_ref, hprev, f, m, cmbuf, cons, *, q: int
         f[:] = jnp.maximum(f[:] - ge, hprev[:] - gi)
         diag = pltpu.roll(hprev[:], 1, axis=0) * d_fill      # H[i-1, j-1]
         ht = jnp.maximum(jnp.maximum(diag + s, jnp.float32(0.0)), f[:])
-        if strategy == "nat":
-            cmbuf[:] = jax.lax.cummax(ht + gvec_u, axis=0)
+        if strategy == "lvl":
+            # two-level cummax: chunk-local doubling in parallel across
+            # all chunks, then an exclusive carry scan over the CHUNK-max
+            # reduction on an nc-row slab, element-repeated back
+            u = ht + gvec_u
+            cm = u
+            sh = 1
+            for k in range(nlocal):
+                cm = jnp.maximum(cm, pltpu.roll(cm, sh, axis=0)
+                                 + cons[4 + k])
+                sh *= 2
+            bmax = jnp.max(u.reshape(nc, CHUNK, u.shape[-1]), axis=1)
+            sh = 1
+            for k in range(nsmall):
+                bmax = jnp.maximum(bmax, pltpu.roll(bmax, sh, axis=0)
+                                   + csml[k])
+                sh *= 2
+            carry = pltpu.roll(bmax, 1, axis=0) + csml[nsmall]
+            carry_b = jnp.broadcast_to(
+                carry[:, None, :], (nc, CHUNK, carry.shape[-1])
+            ).reshape(t, carry.shape[-1])
+            g = jnp.maximum(cm, carry_b)
+        elif strategy == "noe":
+            g = None
         else:
-            cmbuf[:] = ht + gvec_u
+            g = ht + gvec_u
             sh = 1
             for k in range(nsteps):
-                cmbuf[:] = jnp.maximum(cmbuf[:],
-                                       pltpu.roll(cmbuf[:], sh, axis=0)
-                                       + cons[4 + k])
+                g = jnp.maximum(g, pltpu.roll(g, sh, axis=0) + cons[4 + k])
                 sh *= 2
-        e = (pltpu.roll(cmbuf[:], 1, axis=0) + e_fill) - gvec_e
-        hp_new = jnp.maximum(ht, e)
+        if g is None:
+            hp_new = ht
+        else:
+            e = pltpu.roll(g, 1, axis=0) + e_adj
+            hp_new = jnp.maximum(ht, e)
         hprev[:] = hp_new
         m[:] = jnp.maximum(m[:], hp_new)
 
@@ -99,7 +146,7 @@ def _rowscan_kernel(gap_ref, s_ref, out_ref, hprev, f, m, cmbuf, cons, *, q: int
 
 @functools.partial(jax.jit, static_argnames=("q", "t", "ku", "strategy"))
 def sw_rowscan_scores(sim: jax.Array, gap: jax.Array, *, q: int, t: int,
-                      ku: int = 8, strategy: str = "dbl") -> jax.Array:
+                      ku: int = KU, strategy: str = "dbl") -> jax.Array:
     """sim: (Qp, Tp, Bp) int8/f32 similarity, zero-padded (safe for local
     SW: a zero-similarity pad cell can only replicate, never exceed, an
     existing real H value).  gap: (1, 2) [gi, ge] with gi >= ge.
@@ -125,8 +172,9 @@ def sw_rowscan_scores(sim: jax.Array, gap: jax.Array, *, q: int, t: int,
                 pltpu.VMEM((tp, bp), jnp.float32),        # H previous row
                 pltpu.VMEM((tp, bp), jnp.float32),        # F
                 pltpu.VMEM((tp, bp), jnp.float32),        # running max
-                pltpu.VMEM((tp, bp), jnp.float32),        # cummax workspace
                 pltpu.VMEM((nsteps + 4, tp, 1), jnp.float32),  # constants
+                pltpu.VMEM((nsteps + 1, max(tp // CHUNK, 8), 1),
+                           jnp.float32),                  # carry-scan consts
             ],
         ),
         compiler_params=pltpu.CompilerParams(
@@ -141,7 +189,7 @@ def sw_rowscan_scores(sim: jax.Array, gap: jax.Array, *, q: int, t: int,
 
 @functools.partial(jax.jit, static_argnames=("ku", "sim_dtype"))
 def rowscan_similarity_screen(q_codes: jax.Array, t_codes: jax.Array,
-                              table: jax.Array, ku: int = 8,
+                              table: jax.Array, ku: int = KU,
                               sim_dtype=jnp.int8) -> jax.Array:
     """ONE query (Q,) against B templates (B, T) -> (Qp, Tp, Bp) similarity
     in plain row-major layout: a single MXU matmul, no skew, no transpose."""
@@ -151,18 +199,27 @@ def rowscan_similarity_screen(q_codes: jax.Array, t_codes: jax.Array,
     qp = _round_up(q, ku)
     tp = _round_up(t, 8)
     bp = _round_up(b, 128)
-    qoh = jax.nn.one_hot(q_codes, a, dtype=jnp.float32)          # (Q, A)
-    qt = jnp.dot(qoh, table.astype(jnp.float32),
-                 preferred_element_type=jnp.float32)             # (Q, A)
-    toh = jax.nn.one_hot(t_codes.T, a, dtype=jnp.float32, axis=0)
-    sim = jnp.dot(qt, toh.reshape(a, t * b),
-                  preferred_element_type=jnp.float32)            # (Q, T*B)
-    sim = sim.reshape(q, t, b).astype(sim_dtype)
+    if sim_dtype == jnp.int8:
+        qoh = jax.nn.one_hot(q_codes, a, dtype=jnp.int8)         # (Q, A)
+        qt = jnp.dot(qoh, table.astype(jnp.int8),
+                     preferred_element_type=jnp.int32).astype(jnp.int8)
+        toh = jax.nn.one_hot(t_codes.T, a, dtype=jnp.int8, axis=0)
+        sim = jnp.dot(qt, toh.reshape(a, t * b),
+                      preferred_element_type=jnp.int32)          # (Q, T*B)
+        sim = sim.reshape(q, t, b).astype(jnp.int8)
+    else:
+        qoh = jax.nn.one_hot(q_codes, a, dtype=jnp.float32)      # (Q, A)
+        qt = jnp.dot(qoh, table.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)         # (Q, A)
+        toh = jax.nn.one_hot(t_codes.T, a, dtype=jnp.float32, axis=0)
+        sim = jnp.dot(qt, toh.reshape(a, t * b),
+                      preferred_element_type=jnp.float32)        # (Q, T*B)
+        sim = sim.reshape(q, t, b).astype(sim_dtype)
     return jnp.pad(sim, ((0, qp - q), (0, tp - t), (0, bp - b)))
 
 
 def sw_rowscan_screen(q_codes, t_codes, table, gi: float, ge: float,
-                      ku: int = 8, sim_dtype=jnp.int8, strategy: str = "dbl"):
+                      ku: int = KU, sim_dtype=jnp.int8, strategy: str = "dbl"):
     q_codes = jnp.asarray(q_codes)
     t_codes = jnp.asarray(t_codes)
     (q,) = q_codes.shape
