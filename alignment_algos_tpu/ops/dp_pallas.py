@@ -66,9 +66,19 @@ MAX_VMEM_SIDE = 768
 
 def _kernel(s_ref, d_ref, cm_ref, ins0_ref, insc_ref, dcl_ref, h_ref,
             hrev, prev, eye, *, q0: int, q1: int, t0: int, t1: int,
-            q2: int, t2: int, local: bool):
+            q2: int, t2: int, local: bool, ku: int = 1):
     f32 = jnp.float32
-    i = pl.program_id(1)
+    for _r in range(ku):
+        _row_body(s_ref, d_ref, cm_ref, ins0_ref, insc_ref, dcl_ref, h_ref,
+                  hrev, prev, eye, r=_r, q0=q0, q1=q1, t0=t0, t1=t1,
+                  q2=q2, t2=t2, local=local, ku=ku)
+
+
+def _row_body(s_ref, d_ref, cm_ref, ins0_ref, insc_ref, dcl_ref, h_ref,
+              hrev, prev, eye, *, r: int, q0: int, q1: int, t0: int,
+              t1: int, q2: int, t2: int, local: bool, ku: int):
+    f32 = jnp.float32
+    i = pl.program_id(1) * ku + r
 
     def clamp(x):
         return jnp.maximum(f32(0.0), x) if local else x
@@ -82,12 +92,12 @@ def _kernel(s_ref, d_ref, cm_ref, ins0_ref, insc_ref, dcl_ref, h_ref,
                   == jax.lax.broadcasted_iota(jnp.int32, (t2, t2), 1)
                   ).astype(f32)
 
-    sim = s_ref[0]                                              # (1, t2)
+    sim = s_ref[0, r:r + 1]                                     # (1, t2)
 
     # ---- rows before the boundary row: zeros --------------------------
     @pl.when(i <= q0)
     def _():
-        h_ref[0] = jnp.zeros((1, t2), f32)
+        h_ref[0, r:r + 1] = jnp.zeros((1, t2), f32)
 
     # ---- boundary row q0+1 (dpmatrix.h:409-417) ------------------------
     @pl.when(i == q0 + 1)
@@ -96,7 +106,7 @@ def _kernel(s_ref, d_ref, cm_ref, ins0_ref, insc_ref, dcl_ref, h_ref,
         brow = jnp.where(jj_row == t0 + 1, clamp(sim), brow_del)
         brow = jnp.where((jj_row >= t0 + 1) & (jj_row <= t1 - 1), brow,
                          f32(0.0))
-        h_ref[0] = brow
+        h_ref[0, r:r + 1] = brow
         prev[:] = brow
 
     # shared by interior + closing rows: advance the distance-indexed H
@@ -139,7 +149,7 @@ def _kernel(s_ref, d_ref, cm_ref, ins0_ref, insc_ref, dcl_ref, h_ref,
         interior_j = (jj_row >= t0 + 2) & (jj_row <= t1 - 1)
         row = jnp.where(interior_j, best, f32(0.0))
         row = jnp.where(jj_row == t0 + 1, bcol, row)
-        h_ref[0] = row
+        h_ref[0, r:r + 1] = row
         prev[:] = row
 
     # ---- closing row q1: only cell (q1, t1) is set (dpmatrix.h:504-534)
@@ -164,34 +174,40 @@ def _kernel(s_ref, d_ref, cm_ref, ins0_ref, insc_ref, dcl_ref, h_ref,
         ins_max = jnp.max(icand)
 
         best = jnp.maximum(match, jnp.maximum(del_max, ins_max))
-        h_ref[0] = jnp.where(jj_row == t1, best, f32(0.0))
+        h_ref[0, r:r + 1] = jnp.where(jj_row == t1, best, f32(0.0))
 
 
-@functools.partial(jax.jit, static_argnames=("q0", "q1", "t0", "t1", "local"))
+@functools.partial(jax.jit, static_argnames=("q0", "q1", "t0", "t1", "local",
+                                             "ku"))
 def _dp_pallas_batched(S, D, Cm, ins0, ins_close_m, dclose, *, q0, q1,
-                       t0, t1, local):
+                       t0, t1, local, ku=1):
     n, q2, t2 = S.shape
+    if q2 % ku:
+        ku = 1
     kernel = functools.partial(_kernel, q0=q0, q1=q1, t0=t0, t1=t1,
-                               q2=q2, t2=t2, local=local)
-    # rows stream as (1, 1, t2) blocks; Mosaic requires block height 1 to
-    # equal the array dimension, so rows are flattened into the leading dim
-    S_rows = S.reshape(n * q2, 1, t2)
+                               q2=q2, t2=t2, local=local, ku=ku)
+    # rows stream as (1, ku, t2) blocks; Mosaic requires the block height
+    # to equal the array dimension, so rows are flattened into the leading
+    # dim and regrouped by ku
+    S_rows = S.reshape(n * q2 // ku, ku, t2)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n * q2, 1, t2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n * q2 // ku, ku, t2), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
-            grid=(n, q2),
+            grid=(n, q2 // ku),
             in_specs=[
-                pl.BlockSpec((1, 1, t2), lambda b, r: (b * q2 + r, 0, 0)),
+                pl.BlockSpec((1, ku, t2),
+                             lambda b, r, _nb=q2 // ku: (b * _nb + r, 0, 0)),
                 pl.BlockSpec((1, t2, t2), lambda b, r: (b, 0, 0)),   # D
                 pl.BlockSpec((1, q2, t2), lambda b, r: (b, 0, 0)),   # Cm
                 pl.BlockSpec((1, q2, 1), lambda b, r: (b, 0, 0)),    # ins0
                 pl.BlockSpec((1, q2, 1), lambda b, r: (b, 0, 0)),    # insc_m
                 pl.BlockSpec((1, 1, t2), lambda b, r: (b, 0, 0)),    # dclose
             ],
-            out_specs=pl.BlockSpec((1, 1, t2),
-                                   lambda b, r: (b * q2 + r, 0, 0)),
+            out_specs=pl.BlockSpec((1, ku, t2),
+                                   lambda b, r, _nb=q2 // ku: (b * _nb + r,
+                                                               0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((q2, t2), jnp.float32),   # hrev (distance-indexed)
                 pltpu.VMEM((1, t2), jnp.float32),    # previous H row

@@ -280,7 +280,7 @@ def _sharded_bucket_scores(batch, engine: str, mesh: Mesh,
     sharding only partitions the batch axis."""
     from jax import shard_map
 
-    from ..ops import dp_engine, dp_pallas
+    from ..ops import dp_engine, dp_pallas, dp_scores
 
     axis = mesh.axis_names[0]
     ndev = int(mesh.devices.size)
@@ -365,7 +365,7 @@ def screen_profiles(query, templates, evaluator_factory, k: int = 10,
     Returns (scores, order) — optimal global scores and the top-k template
     indices (score desc, index asc).
     """
-    from ..ops import dp_engine, dp_pallas
+    from ..ops import dp_engine, dp_pallas, dp_scores
 
     if engine is None:
         engine = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
@@ -383,6 +383,12 @@ def screen_profiles(query, templates, evaluator_factory, k: int = 10,
         batch = [costs[i] for i in idxs]
         if mesh is not None and int(mesh.devices.size) > 1:
             bucket_scores = _sharded_bucket_scores(batch, engine, mesh)
+            for i, sc in zip(idxs, bucket_scores):
+                scores[i] = sc
+        elif engine == "pallas" and dp_scores.supported(batch[0]):
+            # scores-only batched kernel (ops/dp_scores, round 4): B pairs
+            # per grid step — ~85x the per-pair row-streaming kernel
+            bucket_scores = dp_scores.forward_scores_batch(batch)
             for i, sc in zip(idxs, bucket_scores):
                 scores[i] = sc
         elif engine == "pallas" and dp_pallas.supported(batch[0]):

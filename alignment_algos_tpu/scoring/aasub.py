@@ -43,4 +43,6 @@ class AASubstitutionEval:
         B = np.full(t2, np.float32(self.params.gap_extn_penalty))
         zh, zt = ins_zero_flags(at)
         return DPCosts(S=S, D=D, A=A, B=B,
-                       ins_zero_head_q=zh, ins_zero_tail_q=zt)
+                       ins_zero_head_q=zh, ins_zero_tail_q=zt,
+                       del_gi_vec=A.copy(), del_ge_vec=B.copy(),
+                       del_align=at)

@@ -55,6 +55,13 @@ class DPCosts:
     # gn2_eval.h:139; gnoali scales by (dist-1), gnoalib.h:168)
     C: np.ndarray | None = None
     ins_dist_offset: int = 2
+    # when D equals affine_deletion_table(min-outer(del_gi_vec),
+    # min-outer(del_ge_vec), del_align), these let device kernels rebuild
+    # D from the two (T+2,) vectors instead of shipping the (T+2, T+2)
+    # table (ops/dp_scores)
+    del_gi_vec: np.ndarray | None = None
+    del_ge_vec: np.ndarray | None = None
+    del_align: AlignT | None = None
 
     @property
     def q_size(self) -> int:

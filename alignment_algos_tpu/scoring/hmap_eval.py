@@ -80,4 +80,6 @@ class HMAPaliEval:
         B = np.minimum(ge_vec, np.roll(ge_vec, 1)).astype(np.float32)
         zh, zt = ins_zero_flags(at)
         return DPCosts(S=S, D=D, A=A, B=B,
-                       ins_zero_head_q=zh, ins_zero_tail_q=zt)
+                       ins_zero_head_q=zh, ins_zero_tail_q=zt,
+                       del_gi_vec=gi_vec.astype(np.float32),
+                       del_ge_vec=ge_vec.astype(np.float32), del_align=at)

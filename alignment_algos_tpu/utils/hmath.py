@@ -9,25 +9,35 @@ import numpy as np
 def seq_sum_f32(v: np.ndarray, axis: int = -1) -> np.ndarray:
     """Strictly sequential float32 summation along ``axis`` — matches the
     reference's valarray::sum() / += accumulation order bit-for-bit (numpy's
-    own sum is pairwise/unrolled and rounds differently)."""
+    own sum is pairwise/unrolled and rounds differently).
+
+    Short axes (profile dims, K ~ 20) accumulate with an unrolled
+    in-place loop — same sequential rounding as cumsum's last element
+    without materializing the full cumulative array (the cumsum path was
+    ~60% of build_costs)."""
     v = np.asarray(v, dtype=np.float32)
-    if v.shape[axis] == 0:
+    n = v.shape[axis]
+    if n == 0:
         return np.zeros(np.delete(v.shape, axis), dtype=np.float32)
+    if n <= 64:
+        mv = np.moveaxis(v, axis, 0)
+        acc = mv[0].astype(np.float32, copy=True)
+        for i in range(1, n):
+            acc += mv[i]
+        return acc
     return np.cumsum(v, axis=axis, dtype=np.float32).take(-1, axis=axis)
 
 
 def seq_matmul_f32(A: np.ndarray, B: np.ndarray, chunk: int = 128) -> np.ndarray:
-    """(N,K) x (M,K) -> (N,M) with sequential-in-K float32 accumulation,
-    row-chunked to bound the (chunk, M, K) intermediate."""
+    """(N,K) x (M,K) -> (N,M) with sequential-in-K float32 accumulation:
+    out accumulates the k-th outer-product term in order, which is the
+    reference's += rounding sequence exactly."""
     A = np.asarray(A, dtype=np.float32)
     B = np.asarray(B, dtype=np.float32)
-    n, k = A.shape
-    m = B.shape[0]
-    out = np.empty((n, m), dtype=np.float32)
-    for i0 in range(0, n, chunk):
-        i1 = min(i0 + chunk, n)
-        prod = A[i0:i1, None, :] * B[None, :, :]
-        out[i0:i1] = seq_sum_f32(prod, axis=-1)
+    k = A.shape[1]
+    out = (A[:, 0:1] * B[None, :, 0]).astype(np.float32)
+    for i in range(1, k):
+        out += A[:, i:i + 1] * B[None, :, i]
     return out
 
 

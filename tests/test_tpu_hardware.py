@@ -47,6 +47,20 @@ for q2, atype, zf, local in [(130, AlignT.GLOBAL, False, False),
     ref = dp_ref.build_forward(c, 0, q2 - 1, 0, q2 - 1, local=local)
     assert np.array_equal(H, ref.H), f"mismatch at {q2}"
     print(f"{q2} ok", flush=True)
+# batched scores-only kernel (ops/dp_scores): bit parity across a
+# cross-group batch at each size
+from alignment_algos_tpu.ops import dp_scores
+for q2, atype, zf, local, n in [(130, AlignT.GLOBAL, False, False, 10),
+                                (258, AlignT.SEMI_LOCAL, True, False, 9),
+                                (514, AlignT.GLOBAL, False, True, 3)]:
+    cs = [random_costs(np.random.default_rng(q2 * 10 + i), q2, q2,
+                       atype, zf) for i in range(n)]
+    got = dp_scores.forward_scores_batch(cs, local=local)
+    ref = np.array([dp_ref.build_forward(c, 0, q2 - 1, 0, q2 - 1,
+                                         local=local).H[-1, -1]
+                    for c in cs], np.float32)
+    assert np.array_equal(got, ref), f"dp_scores mismatch at {q2}"
+    print(f"dp_scores {q2} ok", flush=True)
 print("ALL_OK")
 """
 
