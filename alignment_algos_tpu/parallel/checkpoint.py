@@ -77,7 +77,8 @@ def screen_library_checkpointed(q_codes, t_codes, table, gi: float, ge: float,
                                 k: int = 10, chunk_size: int = 1024,
                                 ckpt_path: str = "", mesh=None,
                                 use_pallas: bool | None = None,
-                                max_chunks: int | None = None):
+                                max_chunks: int | None = None,
+                                engine: str | None = None):
     """Resumable chunked screen of one query against a template library.
 
     Same result as ``screen_library`` (global top-k with deterministic
@@ -106,7 +107,7 @@ def screen_library_checkpointed(q_codes, t_codes, table, gi: float, ge: float,
         lo, hi = c * chunk_size, min((c + 1) * chunk_size, n)
         scores, idx = screen_library(q_codes, t_codes[lo:hi], table, gi, ge,
                                      k=min(k_eff, hi - lo), mesh=mesh,
-                                     use_pallas=use_pallas)
+                                     use_pallas=use_pallas, engine=engine)
         ckpt.record(c, scores.astype(np.float32), idx.astype(np.int64) + lo)
         processed += 1
 
