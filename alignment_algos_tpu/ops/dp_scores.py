@@ -51,8 +51,8 @@ from .dp_pallas import _host_tables
 NEG = -3.0e38
 B = 8           # pairs per group (sublanes)
 KU = 8          # rows per grid step
-VMEM_LIMIT = 48 * 1024 * 1024
-MAX_SIDE = 1026  # VMEM: (2*q2 + t2)*B*t2*4 must fit
+VMEM_LIMIT = 96 * 1024 * 1024   # v5e VMEM is 128 MiB physical
+VMEM_NEED_CAP = 80 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -230,8 +230,17 @@ def _dp_scores_call(S, DT, Cm, ins0, insc, dclose, *, q0, q1, t0, t1,
     return out
 
 
+def _vmem_need(q2: int, t2: int) -> int:
+    """Scratch + stack estimate: hrev + Cm (q2p*B*t2p each), DT and ~2
+    live deletion-slab temporaries (B*t2p^2 each), ins tables, mask."""
+    q2p = _round_up(q2, KU)
+    t2p = _round_up(t2, 128)
+    return 4 * (2 * q2p * B * t2p + 3 * B * t2p * t2p
+                + 2 * q2p * B * 128 + t2p * t2p + 3 * B * t2p)
+
+
 def supported(c: DPCosts) -> bool:
-    return max(c.q_size, c.t_size) <= MAX_SIDE
+    return _vmem_need(c.q_size, c.t_size) <= VMEM_NEED_CAP
 
 
 def forward_scores_batch(costs: list[DPCosts], local: bool = False,
