@@ -230,3 +230,22 @@ def test_sw_tb_batch_end_to_end():
         s = table[np.ix_(qc[bi], tc[bi])]
         np.testing.assert_allclose(_path_score(s, paths[bi], gi, ge),
                                    scores[bi], rtol=0, atol=0)
+
+
+def test_device_decode_matches_host():
+    """decode_local_tracebacks_device (fori_loop on-device port) must
+    produce identical scores and paths to the host decode."""
+    rng = np.random.default_rng(21)
+    b, q, t = 9, 40, 33
+    qc = jnp.asarray(rng.integers(0, 20, (b, q)), jnp.int32)
+    tc = jnp.asarray(rng.integers(0, 20, (b, t)), jnp.int32)
+    table = jnp.asarray(rng.integers(-4, 12, (20, 20)).astype(np.float32))
+    gap = jnp.array([[11.0, 1.0]], dtype=jnp.float32)
+    sd = swaffine.skewed_similarity_from_codes(qc, tc, table)
+    tb, m, dat = swaffine.sw_affine_tb_xla(sd, gap, q=q, t=t)
+    s_host, p_host = swaffine.decode_local_tracebacks(
+        np.asarray(tb), np.asarray(m), np.asarray(dat), q, t, nb=b)
+    s_dev, p_dev = swaffine.decode_local_tracebacks_device(tb, m, dat,
+                                                           q, t, nb=b)
+    np.testing.assert_array_equal(s_dev, s_host)
+    assert p_dev == p_host
