@@ -93,15 +93,18 @@ def _screen_step(q_codes, t_codes, table, gap, valid_mask, *, q: int, t: int,
     return topk_scores, topk_idx
 
 
-def _pick_engine(engine, table, gi, ge, q, t, b_shard) -> str:
+def _pick_engine(engine, table, gi, ge, q, t, b_shard, mesh) -> str:
     """Resolve the per-chip engine: "rowscan" (round-4 default when the
     exactness gate passes), "strip" (wavefront fallback incl. non-integer
     tables), or "xla" (portable scan twin, also the non-TPU path).  An
     explicit engine always wins (round-3 advisor: no un-overridable
-    platform checks)."""
+    platform checks).  The decision keys on the MESH's device platform,
+    not the process default — this deployment's sitecustomize can leave a
+    TPU as the default backend while the mesh is the virtual CPU one
+    (the driver's multichip dryrun), where a Pallas engine cannot run."""
     if engine is not None:
         return engine
-    if jax.devices()[0].platform != "tpu":
+    if mesh.devices.flat[0].platform != "tpu":
         return "xla"
     from ..ops import swscan, swstrip
     if swscan.supported(table, gi, ge, q, t, b_shard):
@@ -134,7 +137,7 @@ def screen_library(q_codes: np.ndarray, t_codes: np.ndarray,
     t = int(t_codes.shape[1])
     k = min(k, n_real)
     engine = _pick_engine(engine, table, gi, ge, q, t,
-                          t_codes.shape[0] // shards)
+                          t_codes.shape[0] // shards, mesh)
 
     t_dev = _put(mesh, t_codes, P(axis, None))
     q_dev = _put(mesh, np.asarray(q_codes, np.int32), P())
@@ -254,7 +257,8 @@ def screen_grid(q_codes: np.ndarray, t_codes: np.ndarray, table: np.ndarray,
     valid = jax.device_put(jnp.arange(t_codes_p.shape[0]) < nt,
                            NamedSharding(mesh, P(lib_ax)))
     engine = _pick_engine(engine, table, gi, ge, q, t,
-                          t_codes_p.shape[0] // int(mesh.shape[lib_ax]))
+                          t_codes_p.shape[0] // int(mesh.shape[lib_ax]),
+                          mesh)
     with mesh:
         if engine in ("rowscan", "strip"):
             tblh = np.asarray(table)
@@ -368,7 +372,9 @@ def screen_profiles(query, templates, evaluator_factory, k: int = 10,
     from ..ops import dp_engine, dp_pallas, dp_scores
 
     if engine is None:
-        engine = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+        plat = (mesh.devices.flat[0].platform if mesh is not None
+                else jax.devices()[0].platform)
+        engine = "pallas" if plat == "tpu" else "xla"
 
     buckets: dict[tuple[int, int], list[int]] = {}
     costs = [None] * len(templates)

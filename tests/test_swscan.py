@@ -86,3 +86,19 @@ def test_supported_gate():
     assert not swscan.supported(tbl_int, 10.5, 1.0, 512, 512, 512)
     # VMEM blow-up
     assert not swscan.supported(tbl_int, 11.0, 1.0, 512, 4096, 4096)
+
+
+def test_rowscan_gi_equals_ge_boundary():
+    """The prefix-max lemma requires gi >= ge; equality is the boundary
+    case (E - gi == E - ge) and must stay bit-equal."""
+    rng = np.random.default_rng(31)
+    q, t, b = 24, 40, 3
+    qc = jnp.asarray(rng.integers(0, 20, (b, q)), jnp.int32)
+    tc = jnp.asarray(rng.integers(0, 20, (b, t)), jnp.int32)
+    table = jnp.asarray(rng.integers(-6, 12, (20, 20)).astype(np.float32))
+    gi = ge = 3.0
+    ref = np.asarray(swaffine.sw_affine_batch_xla(qc, tc, table, gi, ge))
+    with _interp():
+        got = np.asarray(swscan.sw_rowscan_batch(
+            qc, tc, table, gi, ge, sim_dtype=jnp.float32))
+    np.testing.assert_array_equal(got, ref)
