@@ -376,30 +376,31 @@ def main() -> int:
         acc, _ = jax.lax.scan(body, acc, qrows)
         return acc
 
-    def timed(fn, *args, passes: int = 3):
-        acc = jnp.float32(0.0)
-        acc = fn(*args, acc)
-        np.asarray(acc)  # compile + warm up
-        # best of several passes (tunnel variance is +-50%); the threaded
-        # accumulator keeps every dispatch's buffers distinct, so the
-        # tunnel's identical-dispatch dedup cannot fire
-        best = float("inf")
-        for _ in range(passes):
-            t0 = time.perf_counter()
-            acc = fn(*args, acc)
-            total = float(np.asarray(acc))  # the pull forces the dispatch
-            best = min(best, time.perf_counter() - t0)
-            assert np.isfinite(total)
-        return best
+    def timed_once(fn, *args):
+        t0 = time.perf_counter()
+        acc = fn(*args)
+        total = float(np.asarray(acc))  # the pull forces the dispatch
+        assert np.isfinite(total)
+        return time.perf_counter() - t0, acc
 
     # steady-state per-batch time: difference two scan lengths so the
     # tunnel's ~5 ms fixed per-dispatch cost cancels (a production screen
-    # runs thousands of batches per dispatch; the short-scan/long-scan
-    # difference is what the chip actually sustains)
+    # runs thousands of batches per dispatch).  Long and short scans are
+    # timed back-to-back WITHIN each pass and differenced pairwise — the
+    # tunnel has multi-minute slow phases, and differencing across a phase
+    # change skews the estimate (round-4 fix; best pair of 3 taken).
     n_small = 8
-    dt_long = timed(run, qcs, lib, table, gap)
-    dt_short = timed(run, qcs[:n_small], lib, table, gap)
-    per_batch = max((dt_long - dt_short) / (ITERS - n_small), 1e-9)
+    acc = jnp.float32(0.0)
+    acc = run(qcs, lib, table, gap, acc)
+    np.asarray(acc)  # compile + warm the long scan
+    acc = run(qcs[:n_small], lib, table, gap, acc)
+    np.asarray(acc)  # compile + warm the short scan
+    per_batch = float("inf")
+    for _ in range(3):
+        dt_long, acc = timed_once(run, qcs, lib, table, gap, acc)
+        dt_short, acc = timed_once(run, qcs[:n_small], lib, table, gap, acc)
+        per_batch = min(per_batch,
+                        max((dt_long - dt_short) / (ITERS - n_small), 1e-9))
     dt = per_batch * ITERS
 
     # kernel-proper throughput: the DP engine alone on device-resident
@@ -419,9 +420,18 @@ def main() -> int:
             return a + jnp.sum(sc), None
         acc, _ = jax.lax.scan(body, acc, sd_stack)
         return acc
-    kt_long = timed(run_kernel, sds, passes=4)
-    kt_short = timed(run_kernel, sds[:k_short], passes=4)
-    dt_kernel = max((kt_long - kt_short) / (k_long - k_short), 1e-9) * ITERS
+    acc = jnp.float32(0.0)
+    acc = run_kernel(sds, acc)
+    np.asarray(acc)
+    acc = run_kernel(sds[:k_short], acc)
+    np.asarray(acc)
+    dt_kernel = float("inf")
+    for _ in range(3):
+        kt_long, acc = timed_once(run_kernel, sds, acc)
+        kt_short, acc = timed_once(run_kernel, sds[:k_short], acc)
+        dt_kernel = min(dt_kernel,
+                        max((kt_long - kt_short) / (k_long - k_short), 1e-9))
+    dt_kernel *= ITERS
 
     cells = B * Q * T * ITERS
     cups = cells / dt
