@@ -195,14 +195,17 @@ def _pad3(sim, qp, tp, bp, q, t, b):
     return jnp.pad(sim, ((0, qp - q), (0, tp - t), (0, bp - b)))
 
 
+def library_onehot(t_codes: jax.Array, a: int,
+                   sim_dtype=jnp.int8) -> jax.Array:
+    """(B, T) codes -> (A, T*B) one-hot.  Loop-invariant when scanning
+    many queries against one resident library — hoist it out of the scan
+    and pass it as ``toh`` below (XLA does not LICM it out of lax.scan)."""
+    return jax.nn.one_hot(t_codes.T, a,
+                          dtype=sim_dtype, axis=0).reshape(a, -1)
+
+
 @functools.partial(jax.jit, static_argnames=("ku", "sim_dtype"))
-def rowscan_similarity_screen(q_codes: jax.Array, t_codes: jax.Array,
-                              table: jax.Array, ku: int = KU,
-                              sim_dtype=jnp.int8) -> jax.Array:
-    """ONE query (Q,) against B templates (B, T) -> (Qp, Tp, Bp)
-    similarity in plain row-major layout.  For integer tables the whole
-    producer is one int8 MXU contraction with the int8 conversion fused
-    into the epilogue — no f32 (Q, T*B) intermediate round-trips HBM."""
+def _rowscan_sim_screen(q_codes, t_codes, table, toh, *, ku, sim_dtype):
     (q,) = q_codes.shape
     b, t = t_codes.shape
     a = table.shape[0]
@@ -213,19 +216,34 @@ def rowscan_similarity_screen(q_codes: jax.Array, t_codes: jax.Array,
         qoh = jax.nn.one_hot(q_codes, a, dtype=jnp.int8)         # (Q, A)
         qt = jnp.dot(qoh, table.astype(jnp.int8),
                      preferred_element_type=jnp.int32).astype(jnp.int8)
-        toh = jax.nn.one_hot(t_codes.T, a, dtype=jnp.int8, axis=0)
-        sim = jnp.dot(qt, toh.reshape(a, t * b),
+        sim = jnp.dot(qt, toh,
                       preferred_element_type=jnp.int32)          # (Q, T*B)
         sim = sim.reshape(q, t, b).astype(jnp.int8)
     else:
         qoh = jax.nn.one_hot(q_codes, a, dtype=jnp.float32)      # (Q, A)
         qt = jnp.dot(qoh, table.astype(jnp.float32),
                      preferred_element_type=jnp.float32)
-        toh = jax.nn.one_hot(t_codes.T, a, dtype=jnp.float32, axis=0)
-        sim = jnp.dot(qt, toh.reshape(a, t * b),
+        sim = jnp.dot(qt, toh.astype(jnp.float32),
                       preferred_element_type=jnp.float32)
         sim = sim.reshape(q, t, b).astype(sim_dtype)
     return _pad3(sim, qp, tp, bp, q, t, b)
+
+
+def rowscan_similarity_screen(q_codes: jax.Array, t_codes: jax.Array,
+                              table: jax.Array, ku: int = KU,
+                              sim_dtype=jnp.int8,
+                              toh: jax.Array | None = None) -> jax.Array:
+    """ONE query (Q,) against B templates (B, T) -> (Qp, Tp, Bp)
+    similarity in plain row-major layout.  For integer tables the whole
+    producer is one int8 MXU contraction with the int8 conversion fused
+    into the epilogue — no f32 (Q, T*B) intermediate round-trips HBM.
+    Pass a prebuilt ``toh`` (library_onehot) when scanning many queries
+    against one resident library."""
+    a = table.shape[0]
+    if toh is None:
+        toh = library_onehot(t_codes, a, sim_dtype=sim_dtype)
+    return _rowscan_sim_screen(q_codes, t_codes, table, toh, ku=ku,
+                               sim_dtype=sim_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("ku", "sim_dtype"))

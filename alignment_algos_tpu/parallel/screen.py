@@ -196,11 +196,15 @@ def _grid_scores_tpu(mesh, qd, td, tab, gap, *, q: int, t: int,
 
     def local_block(qblk, tblk, tbl, gp):
         bloc = tblk.shape[0]
+        toh = (swscan.library_onehot(tblk, tbl.shape[0],
+                                     sim_dtype=sim_dtype)
+               if engine == "rowscan" else None)
 
         def body(_, qc):
             if engine == "rowscan":
                 sim = swscan.rowscan_similarity_screen(qc, tblk, tbl,
-                                                       sim_dtype=sim_dtype)
+                                                       sim_dtype=sim_dtype,
+                                                       toh=toh)
                 sc = swscan.sw_rowscan_scores(sim, gp, q=q, t=t)[:bloc]
             else:
                 sd = swstrip.strip_skewed_similarity_screen(

@@ -306,9 +306,11 @@ def config5_library_scale(bl) -> dict:
     # nq queries; chunk codes transferred once, scores accumulate on device
     @jax.jit
     def chunk_scan(qrows, tcodes, tb, gp, acc):
+        toh = swscan.library_onehot(tcodes, tb.shape[0], sim_dtype=jnp.int8)
         def body(a, qc):
             sim = swscan.rowscan_similarity_screen(qc, tcodes, tb,
-                                                   sim_dtype=jnp.int8)
+                                                   sim_dtype=jnp.int8,
+                                                   toh=toh)
             s = swscan.sw_rowscan_scores(sim, gp, q=length, t=length)
             return a + jnp.sum(s), None
         acc, _ = jax.lax.scan(body, acc, qrows)
@@ -367,10 +369,13 @@ def main() -> int:
     @jax.jit
     def run(qrows, tcodes, tbl, gp, acc):
         # int8 similarity is exact for integer substitution tables; the DP
-        # kernel accumulates in float32
+        # kernel accumulates in float32.  The library one-hot is
+        # loop-invariant: built once outside the scan
+        toh = swscan.library_onehot(tcodes, tbl.shape[0], sim_dtype=jnp.int8)
         def body(a, qc):
             sim = swscan.rowscan_similarity_screen(qc, tcodes, tbl,
-                                                   sim_dtype=jnp.int8)
+                                                   sim_dtype=jnp.int8,
+                                                   toh=toh)
             sc = swscan.sw_rowscan_scores(sim, gp, q=Q, t=T)
             return a + jnp.sum(sc), None
         acc, _ = jax.lax.scan(body, acc, qrows)
