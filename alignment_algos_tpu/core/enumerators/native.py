@@ -106,20 +106,30 @@ def enumerate_native(mode: str, dpm, params, subopt=None) -> list[Alignment]:
         int(params.k_limit), int(params.sort_limit), int(params.user_limit),
         float(params.max_overlap))
     try:
+        from collections import deque
         r = res.contents
+        n = r.n_alis
+        if n == 0:
+            return []
+        counts = np.ctypeslib.as_array(r.pair_counts, shape=(n,))
+        scores = np.ctypeslib.as_array(r.scores, shape=(n,))
+        uids = np.ctypeslib.as_array(r.uids, shape=(n,))
+        total = int(counts.sum())
+        # bulk-materialize: one flat copy + per-alignment zip, instead of
+        # a Python-level append per pair (the per-pair loop was ~95% of
+        # the enumeration wall at production NUM_SUBOPT)
+        flat = np.ctypeslib.as_array(r.pairs, shape=(2 * total,))
+        qs = flat[0::2].tolist()
+        ts = flat[1::2].tolist()
         out = []
         off = 0
-        for i in range(r.n_alis):
-            npairs = r.pair_counts[i]
+        for i in range(n):
+            npairs = int(counts[i])
             a = Alignment()
-            a.score = float(np.float32(r.scores[i]))
-            a.uid = int(r.uids[i])
-            pair_block = np.ctypeslib.as_array(r.pairs,
-                                               shape=(off + 2 * npairs,))
-            for p in range(npairs):
-                a.append(int(pair_block[off + 2 * p]),
-                         int(pair_block[off + 2 * p + 1]))
-            off += 2 * npairs
+            a.score = float(scores[i])
+            a.uid = int(uids[i])
+            a.pairs = deque(zip(qs[off:off + npairs], ts[off:off + npairs]))
+            off += npairs
             out.append(a)
         return out
     finally:

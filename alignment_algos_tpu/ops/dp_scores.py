@@ -201,11 +201,11 @@ def _dp_scores_call(S, DT, Cm, ins0, insc, dclose, *, q0, q1, t0, t1,
             in_specs=[
                 pl.BlockSpec((1, ku, b, t2p),
                              lambda gi, ri: (gi, ri, 0, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((1, b, 128), lambda gi, ri: (gi, 0, 0)),
             scratch_shapes=[
