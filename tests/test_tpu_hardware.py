@@ -170,3 +170,91 @@ def test_rowscan_kernel_mosaic_bit_parity_on_device():
     engine) must compile under Mosaic and match the Gotoh XLA twin
     bit-for-bit, including through the sharded screen wrapper."""
     _run_on_device(_ROWSCAN_PROG)
+
+
+_SF64_PROG = r"""
+import io, sys
+sys.path.insert(0, %(tools)r)
+import numpy as np
+import jax, jax.numpy as jnp
+plat = jax.devices()[0].platform
+assert plat == "tpu", f"not a TPU: {plat}"
+from alignment_algos_tpu.ops import sf64
+from alignment_algos_tpu.native import expf as libm_expf
+
+rng = np.random.default_rng(0)
+xs = np.concatenate([
+    rng.uniform(-8, 8, 500000).astype(np.float32),
+    rng.uniform(-0.7, 0.7, 400000).astype(np.float32),
+    (rng.uniform(-1, 1, 100000) * np.exp2(
+        rng.integers(-140, 3, 100000))).astype(np.float32),
+])
+got = np.asarray(jax.jit(sf64.expf32)(jnp.asarray(xs)))
+exp = libm_expf(xs)
+bad = int((got.view(np.uint32) != exp.view(np.uint32)).sum())
+assert bad == 0, f"{bad} expf mismatches on chip"
+print("expf ok", flush=True)
+
+a = (rng.uniform(-2, 2, 500000) * np.exp2(
+    rng.integers(-30, 30, 500000))).astype(np.float32)
+b = (rng.uniform(0.5, 2, 500000) * np.exp2(
+    rng.integers(-30, 30, 500000))).astype(np.float32)
+gd = np.asarray(jax.jit(sf64.div32)(jnp.asarray(a.view(np.uint32)),
+                                    jnp.asarray(b.view(np.uint32))))
+assert (gd == (a / b).view(np.uint32)).all(), "div32 mismatch on chip"
+v = (rng.uniform(0.25, 4, 500000) * np.exp2(
+    rng.integers(-60, 60, 500000))).astype(np.float32)
+gs = np.asarray(jax.jit(sf64.sqrt32)(jnp.asarray(v.view(np.uint32))))
+assert (gs == np.sqrt(v).view(np.uint32)).all(), "sqrt32 mismatch on chip"
+print("div/sqrt ok", flush=True)
+
+# device similarity producer: bit parity vs host build_costs, and the
+# full screen (device-built S -> dp_scores kernel) vs the verified
+# host-costs path through the same kernel
+from make_profiles import make_profile
+from alignment_algos_tpu.ops import hmap_device
+from alignment_algos_tpu.scoring.hmap_eval import HMAPaliEval
+from alignment_algos_tpu.seq.hmap import HMAPSequence
+from alignment_algos_tpu.utils.params import HMAPaliParams
+from alignment_algos_tpu.parallel.screen import screen_profiles
+
+params = HMAPaliParams()
+ev = HMAPaliEval(params)
+seqs = [HMAPSequence.from_stream(io.StringIO(make_profile(rng, f"s{i}", 62)))
+        for i in range(9)]
+query, templates = seqs[0], seqs[1:]
+qp = hmap_device.pack_sequence(query)
+lib = hmap_device.DeviceLibrary(templates, ev)
+(t2, bkt), = lib.buckets.items()
+S_dev = np.asarray(hmap_device.build_similarity_device(
+    jnp.asarray(qp["aa"]), jnp.asarray(qp["zsse"]), jnp.asarray(qp["conf"]),
+    bkt["aa"], bkt["zsse"], bkt["conf"],
+    jnp.float32(np.float32(params.alpha)),
+    jnp.float32(np.float32(-np.float32(params.zero_shift))),
+    jnp.uint32(0), q2=query.size(), t2=t2,
+    normalize=bool(params.normalize_mtx)))
+for i, t in enumerate(templates):
+    S_host = ev.build_costs(query, t).S
+    assert (S_dev[i].view(np.uint32) == S_host.view(np.uint32)).all(), \
+        f"S parity fail template {i}"
+print("similarity ok", flush=True)
+
+host_scores, host_order = screen_profiles(
+    query, templates, lambda q, t: HMAPaliEval(params), k=4)
+dev_scores, dev_order = hmap_device.screen_hmap_device(
+    query, templates, params, k=4, engine="pallas")
+assert (dev_scores.view(np.uint32)
+        == host_scores.astype(np.float32).view(np.uint32)).all(), \
+    "screen score mismatch"
+assert (dev_order == host_order).all()
+print("screen ok", flush=True)
+print("ALL_OK")
+"""
+
+
+def test_sf64_and_hmap_device_on_chip():
+    """The softfloat ops (libm-expf replica, exact f32 div/sqrt) and the
+    device similarity producer must be bit-exact on the real chip (the
+    uint32 lane arithmetic they reduce to must behave identically under
+    Mosaic/XLA:TPU as on the validated CPU backend)."""
+    _run_on_device(_SF64_PROG % {"tools": os.path.join(ROOT, "tools")})
