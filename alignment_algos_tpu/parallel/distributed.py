@@ -83,23 +83,31 @@ def _worker_main(argv: list[str]) -> int:
     assert len(jax.devices()) == n_total, (
         f"global device count {len(jax.devices())} != {n_total}")
     mesh = default_mesh(n_total)
-    scores, idx = screen_library(
-        data["q_codes"], data["t_codes"], data["table"],
-        float(spec["gi"]), float(spec["ge"]), k=int(spec["k"]),
-        mesh=mesh, use_pallas=False)
+    import time as _time
+    wall = None
+    for _ in range(int(spec.get("reps", 1))):  # last rep is warm
+        t0 = _time.perf_counter()
+        scores, idx = screen_library(
+            data["q_codes"], data["t_codes"], data["table"],
+            float(spec["gi"]), float(spec["ge"]), k=int(spec["k"]),
+            mesh=mesh, use_pallas=False)
+        wall = _time.perf_counter() - t0
     np.savez(out_path, scores=scores, idx=idx,
-             pid=np.int32(jax.process_index()))
+             pid=np.int32(jax.process_index()),
+             wall=np.float64(wall))
     return 0
 
 
 def launch_local_screen(q_codes, t_codes, table, gi, ge, k,
                         num_processes: int = 2,
                         devices_per_process: int = 2,
-                        timeout: float = 300.0):
+                        timeout: float = 300.0, reps: int = 1,
+                        return_walls: bool = False):
     """Run a sharded library screen as a REAL multi-process jax.distributed
     group (CPU backend, local TCP coordinator).  Returns the per-process
     (scores, idx) results — all of them must be identical, and identical to
-    the single-process screen."""
+    the single-process screen.  With ``return_walls`` also returns each
+    process's warm screen wall time (the last of ``reps`` runs)."""
     tmp = tempfile.mkdtemp(prefix="aat_dist_")
     data_path = os.path.join(tmp, "inputs.npz")
     np.savez(data_path, q_codes=np.asarray(q_codes, np.int32),
@@ -113,6 +121,7 @@ def launch_local_screen(q_codes, t_codes, table, gi, ge, k,
         "gi": float(gi),
         "ge": float(ge),
         "k": int(k),
+        "reps": int(reps),
     }
     spec_path = os.path.join(tmp, "spec.json")
     with open(spec_path, "w") as f:
@@ -154,9 +163,13 @@ def launch_local_screen(q_codes, t_codes, table, gi, ge, k,
             raise RuntimeError(
                 f"distributed worker failed (rc={p.returncode}):\n"
                 + "\n".join(errs[-1].splitlines()[-15:]))
+    walls = []
     for out_path in outs:
         with np.load(out_path) as z:
             results.append((z["scores"].copy(), z["idx"].copy()))
+            walls.append(float(z["wall"]) if "wall" in z else None)
+    if return_walls:
+        return results, walls
     return results
 
 
