@@ -379,6 +379,23 @@ def screen_profiles(query, templates, evaluator_factory, k: int = 10,
         plat = (mesh.devices.flat[0].platform if mesh is not None
                 else jax.devices()[0].platform)
         engine = "pallas" if plat == "tpu" else "xla"
+        # round 5: HMAP-family evaluators route to the device similarity
+        # producer (ops/hmap_device) — no Q*T host->device transfer, no
+        # host cost build; bit-identical scores (tests/test_hmap_device)
+        if engine == "pallas" and mesh is None and templates:
+            from ..scoring.hmap2_eval import Hmap2Eval
+            from ..scoring.hmap_eval import HMAPaliEval
+            ev0 = evaluator_factory(query, templates[0])
+            if isinstance(ev0, HMAPaliEval) and type(ev0).build_costs in (
+                    HMAPaliEval.build_costs, Hmap2Eval.build_costs):
+                engine = "device"
+
+    if engine == "device":
+        from ..ops import hmap_device
+        ev0 = evaluator_factory(query, templates[0])
+        return hmap_device.screen_hmap_device(query, templates,
+                                              ev0.params, k=k,
+                                              engine="pallas", ev=ev0)
 
     buckets: dict[tuple[int, int], list[int]] = {}
     costs = [None] * len(templates)

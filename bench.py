@@ -253,15 +253,20 @@ def config3_enumeration(bl) -> dict:
 
 def config4_hmap_profile() -> dict:
     """BASELINE config 4: HMAP profile-profile scoring (position-specific
-    gaps, z-normalized similarity — the nalign path) at library scale
-    through the exact general-gap device engine (ops/dp_pallas on TPU)."""
+    gaps, z-normalized similarity — the nalign path) at library scale.
+
+    Round 5: the similarity is built ON DEVICE from resident profile
+    payloads (ops/hmap_device — bit-identical softfloat pipeline incl.
+    the libm-expf replica), so neither host cost builds nor Q*T
+    similarity transfers sit on the path; scores come from the batched
+    exact general-gap kernel (ops/dp_scores)."""
     import sys as _sys
     tools = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
     if tools not in _sys.path:
         _sys.path.insert(0, tools)
     from make_profiles import make_profile
 
-    from alignment_algos_tpu.parallel.screen import screen_profiles
+    from alignment_algos_tpu.ops import hmap_device
     from alignment_algos_tpu.scoring.hmap_eval import HMAPaliEval
     from alignment_algos_tpu.seq.hmap import HMAPSequence
     from alignment_algos_tpu.utils.params import HMAPaliParams
@@ -283,19 +288,24 @@ def config4_hmap_profile() -> dict:
     query = HMAPSequence.from_file(qfn)
     templates = [HMAPSequence.from_file(fn) for fn in tfns]
     params = HMAPaliParams()
-    factory = lambda q, t: HMAPaliEval(params)
+    ev = HMAPaliEval(params)
 
+    lib = hmap_device.DeviceLibrary(templates, ev)  # resident (production)
     dt = None
-    for _ in range(2):  # second run is compile-cached
+    for _ in range(3):  # first run pays the one-off compile
         t0 = time.perf_counter()
-        scores, order = screen_profiles(query, templates, factory, k=5)
+        scores, order = hmap_device.screen_hmap_device(
+            query, templates, params, k=5, engine="pallas", library=lib,
+            ev=ev)
         dt = time.perf_counter() - t0
     q2 = t2 = length + 2
     cand = ntempl * q2 * t2 * (q2 + t2)
     return {"seconds": round(dt, 4), "templates": ntempl, "length": length,
             "g_candidate_evals_per_sec": round(cand / dt / 1e9, 3),
-            "bound": "host cost build + host->device transfer (~90 MB/s "
-                     "tunnel); kernel-resident rate is 20-73 G"}
+            "engine": "device similarity producer (hmap_device) + "
+                      "dp_scores kernel",
+            "bound": "per-dispatch tunnel overhead + dp_scores kernel; "
+                     "host and transfer are off the path (round 5)"}
 
 
 def config5_library_scale(bl) -> dict:

@@ -85,7 +85,14 @@ def _i16_kernel(gap_ref, s_ref, out_ref, hprev, f, m, cons, csml, *,
         for k in range(nlocal):
             cm = jnp.maximum(cm, pltpu.roll(cm, sh, axis=0) + cons[4 + k])
             sh *= 2
-        bmax = jnp.max(u.reshape(nc, CHUNK, u.shape[-1]), axis=1)
+        # Mosaic has no int16 reductions: chunk-max via an elementwise
+        # binary tree over the reshaped chunk axis
+        ur = u.reshape(nc, CHUNK, u.shape[-1])
+        w = CHUNK
+        while w > 1:
+            ur = jnp.maximum(ur[:, :w // 2], ur[:, w // 2:w])
+            w //= 2
+        bmax = ur[:, 0]
         sh = 1
         for k in range(nsmall):
             bmax = jnp.maximum(bmax, pltpu.roll(bmax, sh, axis=0)
@@ -103,7 +110,8 @@ def _i16_kernel(gap_ref, s_ref, out_ref, hprev, f, m, cons, csml, *,
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
-        out_ref[0] = jnp.max(m[:], axis=0).astype(jnp.float32)
+        out_ref[0] = jnp.max(m[:].astype(jnp.int32),
+                             axis=0).astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("q", "t", "ku"))
