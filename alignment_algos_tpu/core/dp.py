@@ -102,6 +102,18 @@ class DPMatrix:
         else:
             q0, t0, q1, t1 = 0, 0, q2 - 1, t2 - 1
 
+        # constant-affine integer cost models (the substitution
+        # evaluators) take the O(Q*T) prefix-max fast path — byte-equal
+        # to dp_ref (ops/dp_affine; round 5), ~(Q+T)x less work than the
+        # general candidate-scan engines
+        if self.direction == FWD and self.sub_bounds is None:
+            from ..ops import dp_affine
+            aff = dp_affine.affine_consts(c)
+            if aff is not None:
+                self.res = dp_affine.build_forward_affine(
+                    c, q0, q1, t0, t1, aff[0], aff[1], local=self.islocal)
+                return
+
         # route on the EFFECTIVE rectangle: SSSS loop fills are tiny
         # sub-builds of big sequences, and every distinct sub-bounds tuple
         # would otherwise trigger a fresh XLA compile (~1 s) that dwarfs the

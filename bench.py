@@ -130,6 +130,49 @@ def config1_exact_pairwise(bl, ref_sec: float) -> dict:
     out = {"seconds": round(dt, 4), "reference_seconds": round(ref_sec, 4),
            "speedup_vs_reference": round(ref_sec / dt, 1) if dt else 0.0}
 
+    # integer-gap variant (BLOSUM's canonical 11/1): the O(Q*T) affine
+    # fast path (ops/dp_affine, round 5) applies — order-free integer
+    # arithmetic; at the reference's fractional 4.73/0.34 defaults the
+    # candidate-order rounding is load-bearing and the general engine
+    # runs (docs/SCALING.md).  Reference timed at the same 11/1 params.
+    try:
+        ap11 = AliParams()
+        ap11.align_type = 1
+        ap11.gap_init_penalty, ap11.gap_extn_penalty = 11.0, 1.0
+        ev11 = AASubstitutionEval(ap11, bl)
+        dt11 = None
+        for _ in range(2):
+            q, t = _mkseq(rng, 512), _mkseq(rng, 512)
+            t0 = time.perf_counter()
+            dpm = DPMatrix(q, t, ev11, "fwd", ap11.align_type)
+            as11 = AlignmentSet(dpm, Optimal(ap11.align_type))
+            assert len(as11) == 1
+            dt11 = time.perf_counter() - t0
+        out["intgap_seconds"] = round(dt11, 4)
+        aaa = "/tmp/refbuild/aaa"
+        blosum = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tests", "data", "BLOSUM62")
+        if os.path.exists(aaa):
+            fa = "/tmp/aat_bench_c1i.fa"
+            with open(fa, "w") as f:
+                f.write("> t\n%s\n> q\n%s\n\n"
+                        % (t.seq_string, q.seq_string))
+            env = dict(os.environ)
+            env["HOME"] = "/tmp"
+            r = subprocess.run(
+                [aaa, fa, "--SUB_MATRIX", blosum, "--ALIGN_MODE", "1",
+                 "--GAP_INIT_PENALTY", "11", "--GAP_EXTN_PENALTY", "1",
+                 "-opt"], capture_output=True, text=True, env=env,
+                timeout=300)
+            for l in r.stdout.splitlines():
+                if l.startswith("total cpu"):
+                    ref11 = float(l.split()[-1])
+                    out["intgap_reference_seconds"] = round(ref11, 4)
+                    out["intgap_speedup_vs_reference"] = round(ref11 / dt11,
+                                                               1)
+    except Exception as e:
+        out["intgap_error"] = _short_err(e)
+
     # batched exact-pair throughput (the production screening shape):
     # 16 distinct 512x512 pairs through the scores-only batched kernel
     # (ops/dp_scores); single-pair latency is dispatch/row-scan bound,
