@@ -150,11 +150,19 @@ class Alignment:
     def calc_identity(self, query: str, templ: str) -> None:
         """alignment.h:855-865 — counts equal chars over pairs (head/tail
         match and are compensated by the -2)."""
-        same = -2
         total = min(len(query), len(templ)) - 2
-        for qi, ti in self.pairs:
-            if query[qi] == templ[ti]:
-                same += 1
+        bulk = len(self.pairs) > 64 and query.isascii() and templ.isascii()
+        if bulk:
+            # bulk path: one byte-compare over gathered pair positions
+            p = np.asarray(self.pairs, dtype=np.int64)
+            qb = np.frombuffer(query.encode("ascii"), np.uint8)
+            tb = np.frombuffer(templ.encode("ascii"), np.uint8)
+            same = int((qb[p[:, 0]] == tb[p[:, 1]]).sum()) - 2
+        else:
+            same = -2
+            for qi, ti in self.pairs:
+                if query[qi] == templ[ti]:
+                    same += 1
         self.identity = float(same) / float(total) * 100.0 if total else 0.0
 
     def calc_significance(self, sig) -> None:
