@@ -44,10 +44,6 @@ U = jnp.uint32
 I = jnp.int32
 
 
-def _u(v):
-    return jnp.asarray(v, U) if not hasattr(v, "dtype") else v.astype(U)
-
-
 def f32_bits(x):
     return jax.lax.bitcast_convert_type(x, jnp.uint32)
 

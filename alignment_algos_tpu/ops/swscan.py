@@ -49,7 +49,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = -3.0e38
 
-CHUNK = 16          # two-level cummax chunk (sweep optimum on v5e)
+CHUNK = 8           # two-level cummax chunk (round-5 sweep optimum on
+                    # v5e with the cm-final-element chunk-max extraction:
+                    # 8 -> 99.2, 16 -> 85.6, 32 -> 87.8 GCUPS kernel-only;
+                    # fewer full-slab doubling steps beat a longer carry
+                    # scan on the 1/8-size chunk-max slab)
 KU = 8              # query rows per grid step
 VMEM_BUDGET = 28 * 2**20
 VMEM_LIMIT = 32 * 2**20

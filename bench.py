@@ -487,7 +487,8 @@ def main() -> int:
     acc = run(qcs[:n_small], lib, table, gap, acc)
     np.asarray(acc)  # compile + warm the short scan
     samples = []
-    for _ in range(3):
+    for _ in range(5):  # the tunnel has multi-minute phases; more paired
+        # draws give best-of a fair shot at a fast phase (spread reported)
         dt_long, acc = timed_once(run, qcs, lib, table, gap, acc)
         dt_short, acc = timed_once(run, qcs[:n_small], lib, table, gap, acc)
         samples.append(max((dt_long - dt_short) / (ITERS - n_small), 1e-9))
