@@ -122,3 +122,28 @@ def test_mixed_lengths_bucketing():
                                                    engine="xla")
     assert (dev_scores.view(np.uint32)
             == host_scores.astype(np.float32).view(np.uint32)).all()
+
+
+def test_hmap2_smap_screen_parity():
+    """The HMAP2 structure-template path (Hmap2Eval over SMAPSequence —
+    the nalign2 scoring form) must route through the device producer with
+    bit-identical scores; Gn2Eval (its own similarity model) must NOT."""
+    from alignment_algos_tpu.parallel.screen import screen_profiles
+    from alignment_algos_tpu.scoring.gn2_eval import Gn2Params
+    from alignment_algos_tpu.scoring.hmap2_eval import Hmap2Eval
+    from alignment_algos_tpu.structure.smap import SMAPSequence
+
+    data = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+    templ = SMAPSequence.from_file(os.path.join(data, "templ_smap.prof"),
+                                   gn2=True)
+    query = HMAPSequence.from_file(os.path.join(data, "query30.prof"))
+    params = Gn2Params()
+    host_scores, host_order = screen_profiles(
+        query, [templ, templ], lambda q, t: Hmap2Eval(params), k=2,
+        engine="xla")
+    dev_scores, dev_order = hmap_device.screen_hmap_device(
+        query, [templ, templ], params, k=2, engine="xla",
+        ev=Hmap2Eval(params))
+    assert (dev_scores.view(np.uint32)
+            == host_scores.astype(np.float32).view(np.uint32)).all()
+    assert (dev_order == host_order).all()
