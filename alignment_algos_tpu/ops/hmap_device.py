@@ -265,8 +265,9 @@ def screen_hmap_device(query, templates, params, k: int = 10,
             F(np.float32(-np.float32(params.zero_shift))),
             jnp.uint32(0),
             q2=q2, t2=t2, normalize=bool(params.normalize_mtx))
-        if engine == "pallas":
-            from . import dp_scores
+        from . import dp_scores
+        if engine == "pallas" and \
+                dp_scores._vmem_need(q2, t2) <= dp_scores.VMEM_NEED_CAP:
             n = S.shape[0]
             C = jnp.zeros((n, t2), F)
             out = dp_scores._prep_and_run(
@@ -275,6 +276,8 @@ def screen_hmap_device(query, templates, params, k: int = 10,
                 off=2, has_c=False, vec_d=True, del_free=del_free)
             sc = np.asarray(out)[:, :, 0].reshape(-1)[:n]
         else:
+            # oversized buckets (dp_scores VMEM cap) or non-TPU: the
+            # portable exact engine on the device-built S
             sc = _scores_xla(S, b, q2, t2, zh, zt, at)
         for j, idx in enumerate(b["idx"]):
             scores[idx] = sc[j]
